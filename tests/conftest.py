@@ -1,0 +1,50 @@
+"""Test harness configuration.
+
+Golden-accuracy physics tests run on CPU with float64 enabled.  The
+surrounding environment may pre-import jax with a TPU plugin at interpreter
+start (sitecustomize); we therefore switch the platform to CPU in-process
+(which works because backends initialize lazily) and enable x64 at runtime.
+
+Multi-device sharding tests cannot get 8 virtual CPU devices in-process once
+the plugin's sitecustomize has imported jaxlib (XLA flags are already
+parsed), so they use :func:`run_in_clean_env` to execute a script in a fresh
+subprocess with ``XLA_FLAGS=--xla_force_host_platform_device_count=8`` and
+the plugin's PYTHONPATH removed.
+"""
+import os
+import subprocess
+import sys
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_enable_x64', True)
+
+import pytest  # noqa: E402
+
+CLEAN_ENV = {
+    'JAX_PLATFORMS': 'cpu',
+    'JAX_ENABLE_X64': '1',
+    'XLA_FLAGS': '--xla_force_host_platform_device_count=8',
+    'PYTHONPATH': os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'PATH': os.environ.get('PATH', ''),
+    'HOME': os.environ.get('HOME', '/root'),
+}
+
+
+def run_in_clean_env(code: str, timeout=600):
+    """Run python *code* in a subprocess with an 8-device CPU mesh and
+    return (stdout, stderr).  Raises on nonzero exit."""
+    r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                       text=True, timeout=timeout, env=CLEAN_ENV)
+    if r.returncode != 0:
+        raise AssertionError(
+            f'subprocess failed (exit {r.returncode}):\n--- stdout ---\n'
+            f'{r.stdout}\n--- stderr ---\n{r.stderr}')
+    return r.stdout, r.stderr
+
+
+@pytest.fixture(scope='session')
+def clean_env_runner():
+    return run_in_clean_env

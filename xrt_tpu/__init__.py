@@ -1,0 +1,16 @@
+"""xrt_tpu — a TPU-native differentiable x-ray beamline simulator.
+
+A brand-new JAX/XLA/Pallas framework with the raycing capabilities of
+`xrt (XRayTracer) <https://github.com/kklmn/xrt>`_: Monte-Carlo synchrotron
+sources, sequential ray-surface tracing, dynamical crystal diffraction,
+material reflectivities, apertures/screens with colored detector histograms,
+and Fresnel-Kirchhoff wave propagation — implemented as pure, jit-compiled
+functions over a ``Beam`` pytree, sharded over TPU meshes, and
+differentiable end to end.
+"""
+__version__ = '0.1.0'
+
+from . import config, physconsts
+from .beam import Beam, new_beam
+
+__all__ = ['config', 'physconsts', 'Beam', 'new_beam', '__version__']

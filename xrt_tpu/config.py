@@ -1,0 +1,40 @@
+"""Global configuration for xrt_tpu.
+
+xrt_tpu is dtype-polymorphic: every computation inherits the dtype of the
+beam/element arrays.  ``dtype()`` returns the default floating dtype that new
+beams and elements are created with — float64 when JAX x64 is enabled
+(golden-accuracy CPU tests), float32 otherwise (TPU production path).
+"""
+import jax
+import jax.numpy as jnp
+
+#: default number of rays in a generated beam (cf. reference raycing nrays,
+#: xrt/backends/raycing/__init__.py:252)
+NRAYS = 100000
+
+#: tolerance of the ray-surface intersection solver, mm
+#: (cf. reference zEps, xrt/backends/raycing/__init__.py:247)
+Z_EPS = 1e-12
+
+#: maximum number of Newton/bisection iterations of the intersection solver
+#: (cf. reference maxIteration=100, xrt/backends/raycing/__init__.py:253)
+MAX_INTERSECTION_ITERATIONS = 64
+
+#: default photon energy, eV
+DEFAULT_ENERGY = 9.0e3
+
+# ray state codes (cf. reference xrt/backends/raycing/__init__.py:84-97)
+STATE_GOOD = 1       # ray hits within optical limits
+STATE_OUT = 2        # outside optical limits but within physical limits
+STATE_OVER = 3       # outside physical limits (missed the element)
+STATE_DEAD = -1      # absorbed / lost (reference uses -ordinal of the OE)
+
+
+def dtype():
+    """Default floating dtype: float64 iff jax x64 is enabled."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def cdtype():
+    """Default complex dtype matching :func:`dtype`."""
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64

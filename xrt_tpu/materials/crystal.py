@@ -1,0 +1,466 @@
+"""Dynamical x-ray diffraction by perfect and mosaic crystals.
+
+TPU-native re-implementation of the capabilities of the reference
+xrt/backends/raycing/materials/crystal.py (class Crystal, get_amplitude at
+:480-633 based on Belyakov & Dmitrienko closed forms) and
+crystals_basic.py (CrystalFcc:9, CrystalDiamond:34, CrystalSi:83,
+CrystalFromCell:157).  Everything is elementwise jnp math — trivially
+jittable and differentiable; the 2-beam amplitudes run on the TPU VPU with
+no iteration.
+
+Geometry string convention follows the reference: the first word is 'Bragg'
+or 'Laue', the second 'reflected' or 'transmitted'.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..physconsts import PI, PI2, CH, CHBAR, R0, SQRT2PI, AVOGADRO
+from .element import Element
+from .material import Material
+
+
+def _safe_div(num, den, eps=1e-300):
+    return num / jnp.where(jnp.abs(den) < eps,
+                           jnp.where(den == 0, eps, den), den)
+
+
+class _CrystalMethods:
+    """Shared dynamical-diffraction methods; subclasses must provide
+    ``get_structure_factor(E, sinThetaOverLambda)`` returning
+    (F0, Fhkl, Fhkl_bar)."""
+
+    # ---- susceptibilities ------------------------------------------------
+    @property
+    def chiToF(self):
+        return -R0 / PI / self.V  # note the minus (crystal.py:189)
+
+    def get_F_chi(self, E, sinThetaOverLambda):
+        """(F0, Fhkl, Fhkl_, chi0, chih, chih_) — note the conjugation
+        required by the Belyakov-Dmitrienko formulas (crystal.py:285-294)."""
+        F0, Fhkl, Fhkl_ = self.get_structure_factor(E, sinThetaOverLambda)
+        waveLength = CH / E
+        chiToFlambdaSquare = self.chiToF * waveLength ** 2
+        chi0 = jnp.conj(F0) * chiToFlambdaSquare
+        chih = jnp.conj(Fhkl) * chiToFlambdaSquare
+        chih_ = jnp.conj(Fhkl_) * chiToFlambdaSquare
+        return F0, Fhkl, Fhkl_, chi0, chih, chih_
+
+    # ---- angles ----------------------------------------------------------
+    def get_sin_Bragg_angle(self, E, order=1):
+        a = order * CH / (2 * self.d * jnp.asarray(E))
+        return jnp.clip(a, -1 + 1e-16, 1 - 1e-16)
+
+    def get_Bragg_angle(self, E, order=1):
+        return jnp.arcsin(self.get_sin_Bragg_angle(E, order))
+
+    def get_backscattering_energy(self):
+        return CH / (2 * self.d)
+
+    def get_dtheta_symmetric_Bragg(self, E):
+        r"""delta-theta = chi0 / sin(2 theta_B) (crystal.py:1111-1125)."""
+        F0, _, _ = self.get_structure_factor(E, 0.5 / self.d)
+        waveLength = CH / jnp.asarray(E)
+        chi0 = F0 * self.chiToF * waveLength ** 2
+        thetaB = self.get_Bragg_angle(E)
+        return (chi0 / jnp.sin(2 * thetaB)).real
+
+    def get_dtheta(self, E, alpha=None):
+        """Angle correction for the general asymmetric case,
+        Authier Eq. (8.3) (crystal.py:1127-1159)."""
+        if alpha is None:
+            alpha = 0.0
+        thetaB = self.get_Bragg_angle(E)
+        pm = -1.0 if self.geom.startswith('Bragg') else 1.0
+        gamma0 = jnp.sin(thetaB + alpha)
+        gammah = pm * jnp.sin(thetaB - alpha)
+        symm_dt = self.get_dtheta_symmetric_Bragg(E)
+        osqg0 = jnp.sqrt(1.0 - gamma0 ** 2)
+        dtheta0 = (pm * gamma0 - pm * jnp.sqrt(
+            gamma0 ** 2 + pm * (gamma0 - gammah) * osqg0 * symm_dt)) / osqg0
+        return -dtheta0
+
+    def get_dtheta_regular(self, E, alpha=None):
+        """(1-b)/2 * chi0/sin(2 theta_B) (crystal.py:1161-1182)."""
+        if alpha is not None:
+            thetaB = self.get_Bragg_angle(E)
+            b = jnp.sin(thetaB + alpha) / jnp.sin(thetaB - alpha)
+            if self.geom.startswith('Bragg'):
+                b = -b
+            return (1 - b) / 2 * self.get_dtheta_symmetric_Bragg(E)
+        if self.geom.startswith('Bragg'):
+            return self.get_dtheta_symmetric_Bragg(E)
+        return jnp.zeros_like(jnp.asarray(E, jnp.result_type(float)))
+
+    def get_Darwin_width(self, E, b=1.0, polarization='s'):
+        r"""2*delta = |C| sqrt(chih chih_ / b)/sin(2 theta) (crystal.py:296)."""
+        theta0 = self.get_Bragg_angle(E)
+        sin2theta = jnp.sin(2 * theta0)
+        waveLength = CH / jnp.asarray(E)
+        sinThetaOverL = jnp.sin(theta0) / waveLength
+        _, _, _, chi0, chih, chih_ = self.get_F_chi(E, sinThetaOverL)
+        polFactor = 1.0 if polarization == 's' else jnp.cos(2 * theta0)
+        return 2 * (jnp.sqrt(polFactor ** 2 * chih * chih_ / b) /
+                    sin2theta).real
+
+    def get_epsilon_h(self, E, b=1.0, polarization='s'):
+        """Relative spectral width, Shvyd'ko Eq. 2.119 (crystal.py:314)."""
+        _, Fhkl, _, _, _, _ = self.get_F_chi(E, 0.5 / self.d)
+        if polarization == 's':
+            polFactor = 1.0
+        else:
+            polFactor = jnp.abs(jnp.cos(2 * self.get_Bragg_angle(E)))
+        chiToFd2 = jnp.abs(self.chiToF) * self.d ** 2
+        return 4 * chiToFd2 * polFactor * jnp.abs(Fhkl) / abs(b) ** 0.5
+
+    # ---- 2-beam amplitudes ----------------------------------------------
+    def get_amplitude(self, E, beamInDotNormal, beamOutDotNormal=None,
+                      beamInDotHNormal=None, d_local=None):
+        r"""Complex reflectivity/transmittivity amplitudes (s, p) in Bragg
+        and Laue geometry, thick and finite-thickness, after Belyakov &
+        Dmitrienko (crystal.py:480-633).  The |b|^{-1/2} flux factor is
+        included for reflected geometries.
+
+        For float32 TPU runs the ill-conditioned deviation parameter
+        (H^2/2 - k0·H)/k0^2 is evaluated in the algebraically equivalent,
+        cancellation-friendly form (H/k0)*(H/(2 k0) - |cos(angle to H)|).
+        """
+        E = jnp.asarray(E)
+        waveLength = CH / E
+        k = PI2 / waveLength
+        k0s = -beamInDotNormal * k
+        if beamOutDotNormal is None:
+            beamOutDotNormal = -beamInDotNormal
+        kHs = -beamOutDotNormal * k
+        if beamInDotHNormal is None:
+            beamInDotHNormal = beamInDotNormal
+        crystd = self.d if d_local is None else d_local
+        HoverK = waveLength / crystd                      # H/k0 = lambda/d
+        kHs0 = kHs == 0
+        kHs = jnp.where(kHs0, 1.0, kHs)
+        b = jnp.where(kHs0, -1.0, k0s / kHs)
+        _, _, _, chi0, chih, chih_ = self.get_F_chi(E, 0.5 / crystd)
+        thetaB = self.get_Bragg_angle(E)
+        # well-conditioned form of (H^2/2 - k0H)/k0^2:
+        alpha = HoverK * (0.5 * HoverK - jnp.abs(beamInDotHNormal)) + \
+            chi0 / 2 * (1 / b - 1)
+
+        HH = PI2 / crystd
+        k02 = k ** 2
+
+        def for_one_polarization(polFactor):
+            delta = jnp.sqrt(alpha ** 2 + polFactor ** 2 * chih * chih_ / b)
+            if self.t is None:  # thick Bragg
+                apd = alpha + delta
+                amd = alpha - delta
+                amd = jnp.where(amd == 0, 1e-100, amd)
+                apd = jnp.where(apd == 0, 1e-100, apd)
+                ra = chih * polFactor / apd
+                rb = chih * polFactor / amd
+                ra = jnp.where(jnp.isnan(jnp.abs(ra)) |
+                               (jnp.abs(rb) < jnp.abs(ra)), rb, ra)
+                return ra / jnp.sqrt(jnp.abs(b))
+            t = self.t * 1e7  # mm -> A
+            lg = t * delta * k02 / 2.0 / kHs
+            if self.geom.startswith('Bragg'):
+                if self.geom.endswith('transmitted'):
+                    ra = 1 / (jnp.cos(lg) - 1j * alpha * jnp.sin(lg) / delta)\
+                        * jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
+                else:
+                    ra = chih * polFactor / \
+                        (alpha + 1j * delta / jnp.tan(lg))
+            else:  # Laue
+                if self.geom.endswith('transmitted'):
+                    ra = (jnp.cos(lg) + 1j * alpha * jnp.sin(lg) / delta) * \
+                        jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
+                else:
+                    ra = chih * polFactor * jnp.sin(lg) / delta * \
+                        jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
+            if not self.geom.endswith('transmitted'):
+                ra = ra / jnp.sqrt(jnp.abs(b))
+            return ra
+
+        curveS = for_one_polarization(1.0)
+        curveP = for_one_polarization(jnp.cos(2.0 * thetaB))
+        return curveS, curveP
+
+    # ---- mosaic crystals (Bacon & Lowde) --------------------------------
+    def get_kappa_Q(self, E):
+        """Inverse extinction length kappa and integrated reflecting power Q
+        per unit path, all in 1/cm (crystal.py:1058-1072)."""
+        thetaB = self.get_Bragg_angle(E) - self.get_dtheta(E)
+        waveLength = CH / jnp.asarray(E)
+        _, Fhkl, _, _, _, _ = self.get_F_chi(E, 0.5 / self.d)
+        polFactor = jnp.cos(2 * thetaB)
+        kappas = jnp.abs(Fhkl) * waveLength * R0 / self.V
+        Qs = kappas ** 2 * waveLength / jnp.sin(2 * thetaB)
+        kappap = kappas * jnp.abs(polFactor)
+        Qp = Qs * polFactor ** 2
+        return kappas * 1e8, kappap * 1e8, Qs * 1e8, Qp * 1e8, thetaB
+
+    def get_extinction_lengths(self, E):
+        """Primary (and, with mosaicity, secondary) extinction lengths, mm
+        (crystal.py:1074-1083)."""
+        kappas, kappap, Qs, Qp = self.get_kappa_Q(E)[0:4]
+        mosaicity = getattr(self, 'mosaicity', 0.0) or 0.0
+        if mosaicity:
+            w = 1.0 / (SQRT2PI * mosaicity)
+            return 10. / kappas, 10. / kappap, 10. / (w * Qs), 10. / (w * Qp)
+        return 10. / kappas, 10. / kappap
+
+    def get_amplitude_mosaic(self, E, beamInDotNormal, beamOutDotNormal=None,
+                             beamInDotHNormal=None):
+        """Mosaic-crystal reflectivity after Bacon & Lowde
+        (crystal.py:1022-1056)."""
+        Qs, Qp, thetaB = self.get_kappa_Q(E)[2:5]
+        if beamInDotHNormal is None:
+            beamInDotHNormal = beamInDotNormal
+        delta = jnp.arcsin(jnp.abs(beamInDotHNormal)) - thetaB
+        g0 = jnp.abs(beamInDotNormal)
+        gH = g0 if beamOutDotNormal is None else jnp.abs(beamOutDotNormal)
+        w = jnp.exp(-0.5 * delta ** 2 / self.mosaicity ** 2) / \
+            (SQRT2PI * self.mosaicity)
+        mu = self.get_absorption_coefficient(E)
+        if self.geom.startswith('Bragg'):
+            mu = mu * 0.5 * (1 + g0 / gH)
+        t = None if self.t is None else self.t * 0.1  # mm -> cm
+
+        def for_one_polarization(Q):
+            a = Q * w / mu
+            bb = jnp.sqrt(1 + 2 * a)
+            if t is None:  # thick Bragg
+                return a / (1 + a + bb)
+            A = mu * t / g0
+            if self.geom.startswith('Bragg'):
+                return a / (1 + a + bb / jnp.tanh(A * bb))
+            sigma = Q * w / g0
+            overGamma = 0.5 * (1 / g0 + 1 / gH)
+            overG = 0.5 * (1 / g0 - 1 / gH)
+            sm = jnp.sqrt(sigma ** 2 + mu ** 2 * overG ** 2)
+            sGamma = sigma + mu * overGamma
+            return sigma / sm * jnp.sinh(sm * t) * jnp.exp(-sGamma * t)
+
+        return (jnp.sqrt(for_one_polarization(Qs)),
+                jnp.sqrt(for_one_polarization(Qp)))
+
+
+@struct.dataclass
+class Crystal(_CrystalMethods, Material):
+    """Crystal with externally given d-spacing; structure factors default to
+    the 'all atoms equal, F = sum f' convention when subclasses don't
+    override (cf. reference Crystal, crystal.py:20-153)."""
+    hkl: Tuple[int, ...] = struct.field(pytree_node=False, default=(1, 1, 1))
+    d: jnp.ndarray = None
+    V: jnp.ndarray = None
+    factDW: jnp.ndarray = None
+    geom: str = struct.field(pytree_node=False, default='Bragg reflected')
+    mosaicity: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def create(cls, hkl=(1, 1, 1), d=0.0, V=None, elements='Si',
+               quantities=None, rho=0.0, t=None, factDW=1.0,
+               geom='Bragg reflected', table='Chantler total', name='',
+               mosaicity=0.0, **kwargs):
+        from .. import config
+        dt = config.dtype()
+        base = Material.create(elements, quantities, kind='crystal', rho=rho,
+                               t=t, table=table, name=name)
+        sqrthkl2 = math.sqrt(sum(i ** 2 for i in hkl))
+        if V is None:
+            V = (d * sqrthkl2) ** 3  # cubic assumption (crystal.py:210)
+        return cls(elements=base.elements, quantities=base.quantities,
+                   rho=base.rho, t=base.t, kind='crystal', name=base.name,
+                   table=table, hkl=tuple(int(i) for i in hkl),
+                   d=jnp.asarray(d, dt), V=jnp.asarray(V, dt),
+                   factDW=jnp.asarray(factDW, dt), geom=geom,
+                   mosaicity=None if not mosaicity else
+                   jnp.asarray(mosaicity, dt), **kwargs)
+
+    def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
+        raise NotImplementedError(
+            'use a concrete crystal class (CrystalSi, CrystalDiamond, '
+            'CrystalFromCell, ...)')
+
+
+@struct.dataclass
+class CrystalFcc(Crystal):
+    """fcc structure factor: F = 4f if h,k,l all even or all odd, else 0
+    (crystals_basic.py:9-31)."""
+
+    def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
+        el = self.elements[0]
+        anomalousPart = el.get_f1f2(E)
+        F0 = 4 * (el.Z + anomalousPart) * self.factDW
+        residue = sum(i % 2 for i in self.hkl)
+        if residue == 0 or residue == 3:
+            f0 = el.get_f0(sinThetaOverLambda) if needFhkl else 0.0
+            Fhkl = 4 * (f0 + anomalousPart) * self.factDW
+        else:
+            Fhkl = jnp.zeros_like(F0)
+        return F0, Fhkl, Fhkl
+
+
+@struct.dataclass
+class CrystalDiamond(CrystalFcc):
+    """Diamond lattice: F = F_fcc * (1 + exp(i pi/2 (h+k+l)))
+    (crystals_basic.py:34-80)."""
+
+    @classmethod
+    def create(cls, hkl=(1, 1, 1), d=0.0, a=None, **kwargs):
+        if a is not None:
+            sqrthkl2 = math.sqrt(sum(i ** 2 for i in hkl))
+            d = a / sqrthkl2
+        kwargs.setdefault('name', 'Diamond')
+        return super(CrystalDiamond, cls).create(hkl=hkl, d=d, **kwargs)
+
+    def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
+        diamondToFcc = 1 + complex(math.cos(0.5 * PI * sum(self.hkl)),
+                                   math.sin(0.5 * PI * sum(self.hkl)))
+        F0, Fhkl, Fhkl_ = CrystalFcc.get_structure_factor(
+            self, E, sinThetaOverLambda, needFhkl)
+        return (F0 * 2, Fhkl * diamondToFcc,
+                Fhkl_ * diamondToFcc.conjugate())
+
+
+def _si_dl_l(t):
+    """Relative elongation of Si vs temperature [K], Swenson
+    parameterization (crystals_basic.py:116-138)."""
+    if 0.0 <= t < 30.0:
+        return -2.154537e-004
+    if 30.0 <= t < 130.0:
+        return (-2.303956e-014 * t ** 4 + 7.834799e-011 * t ** 3 -
+                1.724143e-008 * t ** 2 + 8.396104e-007 * t - 2.276144e-004)
+    if 130.0 <= t < 293.0:
+        return (-1.223001e-011 * t ** 3 + 1.532991e-008 * t ** 2 -
+                3.263667e-006 * t - 5.217231e-005)
+    if 293.0 <= t <= 1000.0:
+        return (-1.161022e-012 * t ** 3 + 3.311476e-009 * t ** 2 +
+                1.124129e-006 * t - 5.844535e-004)
+    return 1.0e+100
+
+
+@struct.dataclass
+class CrystalSi(CrystalDiamond):
+    """Silicon with temperature-dependent lattice constant
+    (crystals_basic.py:83-154)."""
+    tK: float = struct.field(pytree_node=False, default=297.15)
+
+    @classmethod
+    def create(cls, hkl=(1, 1, 1), tK=297.15, **kwargs):
+        a0 = 5.430710
+        dl_l0 = _si_dl_l(273.15 + 19.9)
+        a = a0 * (_si_dl_l(tK) - dl_l0 + 1)
+        kwargs.setdefault('elements', 'Si')
+        kwargs.setdefault('rho', 2.33)
+        kwargs.setdefault('name', 'Si')
+        kwargs.pop('a', None)
+        kwargs.pop('d', None)
+        return super(CrystalSi, cls).create(hkl=hkl, a=a, tK=tK, **kwargs)
+
+    def get_a(self):
+        a0 = 5.430710
+        dl_l0 = _si_dl_l(273.15 + 19.9)
+        return a0 * (_si_dl_l(self.tK) - dl_l0 + 1)
+
+    def get_Bragg_offset(self, E, Eref):
+        """Bragg angle offset of a spectrum feature vs its tabulated position
+        (crystals_basic.py:144-154)."""
+        chOverTwod = CH / 2 / self.d
+        return jnp.arcsin(chOverTwod / E) - jnp.arcsin(chOverTwod / Eref)
+
+
+@struct.dataclass
+class CrystalFromCell(Crystal):
+    """Crystal from cell parameters and explicit atomic positions
+    (crystals_basic.py:157-440).  *atoms_Z* are the atomic numbers,
+    *atomsXYZ* fractional cell coordinates (n_atoms, 3), *atomsFraction*
+    occupancies."""
+    a: float = struct.field(pytree_node=False, default=5.430710)
+    b_: float = struct.field(pytree_node=False, default=None)
+    c: float = struct.field(pytree_node=False, default=None)
+    alpha: float = struct.field(pytree_node=False, default=90.0)
+    beta: float = struct.field(pytree_node=False, default=90.0)
+    gamma: float = struct.field(pytree_node=False, default=90.0)
+    atoms_Z: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    atomsXYZ: jnp.ndarray = None            # (n_atoms, 3)
+    atomsFraction: jnp.ndarray = None       # (n_atoms,)
+
+    @classmethod
+    def create(cls, name='', hkl=(1, 1, 1), a=5.430710, b=None, c=None,
+               alpha=90.0, beta=90.0, gamma=90.0, atoms=(14,) * 8,
+               atomsXYZ=((0., 0., 0.), (0., .5, .5), (.5, .5, 0.),
+                         (.5, 0., .5), (.25, .25, .25), (.25, .75, .75),
+                         (.75, .25, .75), (.75, .75, .25)),
+               atomsFraction=None, t=None, factDW=1.0,
+               geom='Bragg reflected', table='Chantler total',
+               mosaicity=0.0, **kwargs):
+        from .. import config
+        dt = config.dtype()
+        b = b or a
+        c = c or a
+        atoms_Z = tuple(Element.create(at).Z if isinstance(at, str) else
+                        int(at) for at in atoms)
+        if atomsFraction is None:
+            atomsFraction = [1.0] * len(atoms_Z)
+        ar, br, gr = (math.radians(alpha), math.radians(beta),
+                      math.radians(gamma))
+        ca, cb, cg = math.cos(ar), math.cos(br), math.cos(gr)
+        sa, sb, sg = math.sin(ar), math.sin(br), math.sin(gr)
+        V = a * b * c * (1 - ca**2 - cb**2 - cg**2 + 2*ca*cb*cg) ** 0.5
+        h, k, l = hkl
+        d = V / (a * b * c) * (
+            (h * sa / a) ** 2 + (k * sb / b) ** 2 + (l * sg / c) ** 2 +
+            2 * h * k * (ca * cb - cg) / (a * b) +
+            2 * h * l * (ca * cg - cb) / (a * c) +
+            2 * k * l * (cb * cg - ca) / (b * c)) ** (-0.5)
+        # unique elements for f-table lookup
+        unique_Z = sorted(set(atoms_Z))
+        els = tuple(Element.create(z, table) for z in unique_Z)
+        mass = sum(f * Element.create(z).mass
+                   for z, f in zip(atoms_Z, atomsFraction))
+        rho = mass / AVOGADRO / V * 1e24
+        return cls(elements=els,
+                   quantities=jnp.ones((len(els),), dt),
+                   rho=jnp.asarray(rho, dt),
+                   t=None if t is None else jnp.asarray(t, dt),
+                   kind='crystal', name=name, table=table,
+                   hkl=tuple(int(i) for i in hkl),
+                   d=jnp.asarray(d, dt), V=jnp.asarray(V, dt),
+                   factDW=jnp.asarray(factDW, dt), geom=geom,
+                   mosaicity=None if not mosaicity else
+                   jnp.asarray(mosaicity, dt),
+                   a=a, b_=b, c=c, alpha=alpha, beta=beta, gamma=gamma,
+                   atoms_Z=atoms_Z,
+                   atomsXYZ=jnp.asarray(atomsXYZ, dt),
+                   atomsFraction=jnp.asarray(atomsFraction, dt))
+
+    def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
+        """F0, Fhkl, Fhkl_bar summed over all atoms in the cell
+        (crystals_basic.py:424-440)."""
+        el_by_Z = {el.Z: el for el in self.elements}
+        E = jnp.asarray(E)
+        F0 = jnp.zeros(E.shape, jnp.result_type(E.dtype, jnp.complex64))
+        Fhkl = jnp.zeros_like(F0)
+        Fhkl_ = jnp.zeros_like(F0)
+        hkl = jnp.asarray(self.hkl, self.atomsXYZ.dtype)
+        cache = {}
+        for i, Z in enumerate(self.atoms_Z):
+            el = el_by_Z[Z]
+            if Z in cache:
+                f0, anom = cache[Z]
+            else:
+                f0 = el.get_f0(sinThetaOverLambda) if needFhkl else 0.0
+                anom = el.get_f1f2(E)
+                cache[Z] = (f0, anom)
+            af = self.atomsFraction[i]
+            F0 = F0 + af * (Z + anom) * self.factDW
+            fact = af * (f0 + anom) * self.factDW
+            phase = PI2 * jnp.dot(self.atomsXYZ[i], hkl)
+            expiHr = jnp.cos(phase) + 1j * jnp.sin(phase)
+            Fhkl = Fhkl + fact * expiHr
+            Fhkl_ = Fhkl_ + fact / expiHr
+        return F0, Fhkl, Fhkl_

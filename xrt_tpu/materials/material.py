@@ -1,0 +1,151 @@
+"""Amorphous materials: refractive index, absorption, Fresnel amplitudes.
+
+TPU-native re-implementation of the capabilities of the reference
+xrt/backends/raycing/materials/material.py:14-493 (class Material) as a
+functional pytree: all numeric state is jnp leaves, all methods are pure and
+jittable, and the whole object is differentiable (e.g. d(reflectivity)/d(rho)
+works by construction).
+"""
+from __future__ import annotations
+
+from typing import Tuple, Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..physconsts import PI2, CH, CHBAR, R0, AVOGADRO
+from .element import Element
+
+_MIRROR_KINDS = ('mirror', 'thin mirror', 'grating')
+_TRANSMIT_KINDS = ('plate', 'lens', 'FZP')
+
+
+@struct.dataclass
+class Material:
+    """A material given by chemical formula and density.
+
+    *kind* is one of 'mirror', 'thin mirror', 'plate', 'lens', 'grating',
+    'FZP' ('auto' resolves to the hosting optical element's preference).
+    *rho* is density in g/cm^3, *t* thickness in mm (needed for
+    'thin mirror').
+    """
+    elements: Tuple[Element, ...]
+    quantities: jnp.ndarray
+    rho: jnp.ndarray
+    t: Optional[jnp.ndarray] = None
+    kind: str = struct.field(pytree_node=False, default='auto')
+    name: str = struct.field(pytree_node=False, default='')
+    table: str = struct.field(pytree_node=False, default='Chantler total')
+    # constant (energy-independent) refractive index override, or None
+    refractiveIndex: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def create(cls, elements, quantities=None, kind='auto', rho=0.0, t=None,
+               table='Chantler total', name='', refractiveIndex=None):
+        from .. import config
+        dt = config.dtype()
+        if isinstance(elements, str):
+            elements = (elements,)
+        els = tuple(Element.create(e, table) for e in elements)
+        if quantities is None:
+            quantities = [1.0] * len(els)
+        if name == '':
+            name = ''.join(el.name for el in els)
+        ri = None if refractiveIndex is None else jnp.asarray(
+            refractiveIndex, config.cdtype())
+        return cls(elements=els, quantities=jnp.asarray(quantities, dt),
+                   rho=jnp.asarray(rho, dt),
+                   t=None if t is None else jnp.asarray(t, dt),
+                   kind=kind, name=name, table=table, refractiveIndex=ri)
+
+    @property
+    def mass(self):
+        """Molar mass of the formula unit, g/mol."""
+        masses = jnp.asarray([e.mass for e in self.elements])
+        return jnp.sum(self.quantities * masses)
+
+    def resolved_kind(self, default='mirror') -> str:
+        return default if self.kind == 'auto' else self.kind
+
+    def get_refractive_index(self, E):
+        r"""n(E) = 1 - r0*lambda^2*N_A*rho/(2 pi M) * sum_i x_i f_i(0)
+        (cf. material.py:348-378)."""
+        if self.refractiveIndex is not None:
+            return jnp.broadcast_to(self.refractiveIndex,
+                                    jnp.shape(E))
+        E = jnp.asarray(E)
+        xf = jnp.zeros(E.shape, jnp.result_type(jnp.asarray(1j),
+                                                E.dtype))
+        for elem, xi in zip(self.elements,
+                            [self.quantities[i]
+                             for i in range(len(self.elements))]):
+            xf = xf + (elem.Z + elem.get_f1f2(E)) * xi
+        return 1 - 1e-24 * AVOGADRO * R0 / PI2 * (CH / E) ** 2 * \
+            self.rho * xf / self.mass  # 1e-24 = A^3/cm^3
+
+    def get_absorption_coefficient(self, E):
+        r"""Linear absorption coefficient mu = 2*Im(n)*k in 1/cm
+        (cf. material.py:380-389)."""
+        return jnp.abs(self.get_refractive_index(E).imag) * E / CHBAR * 2e8
+
+    def get_amplitude(self, E, beamInDotNormal, fromVacuum=True):
+        r"""Fresnel amplitude reflectivity (kind mirror/'thin mirror'/grating)
+        or transmittivity (plate/lens/FZP) for s and p; returns
+        (rs, rp, abs_coeff[1/cm], n_real_phase[1/cm])
+        (cf. material.py:415-493)."""
+        kind = self.resolved_kind()
+        if kind == 'FZP':
+            one = jnp.ones_like(jnp.asarray(E))
+            return one, one, jnp.zeros_like(one), jnp.zeros_like(one)
+        n = self.get_refractive_index(E)
+        if fromVacuum:
+            n1 = jnp.ones_like(n)
+            n2 = n
+        else:
+            n1 = n
+            n2 = jnp.ones_like(n)
+        cosAlpha = jnp.abs(beamInDotNormal)
+        sinAlpha2 = jnp.clip(1 - beamInDotNormal ** 2, 0.0, None)
+        n1cosAlpha = n1 * cosAlpha
+        cosBeta = jnp.sqrt((1 + 0j) - (n1 / n2) ** 2 * sinAlpha2)
+        n2cosBeta = n2 * cosBeta
+        if kind in _MIRROR_KINDS:
+            rs = (n1cosAlpha - n2cosBeta) / (n1cosAlpha + n2cosBeta)
+            rp = (n2 * cosAlpha - n1 * cosBeta) / \
+                 (n2 * cosAlpha + n1 * cosBeta)
+            if kind == 'thin mirror':
+                p2 = jnp.exp(2j * E / CHBAR * n2cosBeta * self.t * 1e7)
+                rs = rs * (1 - p2) / (1 - rs ** 2 * p2)
+                rp = rp * (1 - p2) / (1 - rp ** 2 * p2)
+        elif kind in _TRANSMIT_KINDS:
+            tf = jnp.sqrt((n2cosBeta * n1.conj()).real /
+                          jnp.maximum(cosAlpha, 1e-300)) / jnp.abs(n1)
+            rs = 2 * n1cosAlpha / (n1cosAlpha + n2cosBeta) * tf
+            rp = 2 * n1cosAlpha / (n2 * cosAlpha + n1 * cosBeta) * tf
+        else:
+            raise ValueError(f'unknown material kind {kind!r} of {self.name}')
+        return (rs, rp,
+                jnp.abs(n.imag) * E / CHBAR * 2e8,   # mu, 1/cm
+                n.real * E / CHBAR * 1e8)            # refraction phase, 1/cm
+
+
+@struct.dataclass
+class EmptyMaterial:
+    """Geometry-only material for e.g. gratings with externally given
+    efficiency (cf. reference materials/__init__.py:102)."""
+    kind: str = struct.field(pytree_node=False, default='mirror')
+    name: str = struct.field(pytree_node=False, default='None')
+
+    def resolved_kind(self, default='mirror') -> str:
+        return default if self.kind == 'auto' else self.kind
+
+    def get_refractive_index(self, E):
+        return jnp.ones_like(jnp.asarray(E)) * (1 + 0j)
+
+    def get_absorption_coefficient(self, E):
+        return jnp.zeros_like(jnp.asarray(E))
+
+    def get_amplitude(self, E, beamInDotNormal, fromVacuum=True):
+        one = jnp.ones_like(jnp.asarray(E))
+        zero = jnp.zeros_like(one)
+        return one, one, zero, zero
