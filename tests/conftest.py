@@ -19,6 +19,9 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402
 
+# JAX_PLATFORMS may already have been read at jax-import time (plugin
+# sitecustomize); override at runtime as well.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 import pytest  # noqa: E402
