@@ -1,0 +1,287 @@
+"""Apertures and beam stops.
+
+TPU-native re-implementation of the capabilities of the reference
+xrt/backends/raycing/apertures.py: RectangularAperture:75 (propagate:334),
+RoundAperture:668, beam stops :543/:916/:1312/:1450, DoubleSlit:931,
+PolygonalAperture:1035, GridAperture:1324, SiemensStar:1462.
+
+Design: every aperture advances rays to its plane, applies the propagation
+phase to amplitudes, and marks blocked rays dead via the ``state`` mask
+(never filtering — static shapes).  Subclasses define ``inside(x, z)``;
+``isBeamStop`` inverts it.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from . import config
+from .beam import Beam
+from .physconsts import CHBAR, PI2
+
+
+@struct.dataclass
+class _ApertureBase:
+    center: jnp.ndarray = None
+    ex: jnp.ndarray = None
+    ez: jnp.ndarray = None
+    name: str = struct.field(pytree_node=False, default='')
+    isBeamStop: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def ey(self):
+        return jnp.cross(self.ez, self.ex)
+
+    def inside(self, x, z):
+        raise NotImplementedError
+
+    def propagate(self, beam: Beam, needNewGlobal=False):
+        """Advance rays to the aperture plane and kill the blocked ones
+        (cf. apertures.py:334-413).  Returns the local beam, or
+        (global, local) when *needNewGlobal*."""
+        good = beam.state > 0
+        ex, ey, ez = self.ex, self.ey, self.ez
+        dx = beam.x - self.center[0]
+        dy = beam.y - self.center[1]
+        dz = beam.z - self.center[2]
+        lx = dx * ex[0] + dy * ex[1] + dz * ex[2]
+        ly = dx * ey[0] + dy * ey[1] + dz * ey[2]
+        lz = dx * ez[0] + dy * ez[1] + dz * ez[2]
+        la = beam.a * ex[0] + beam.b * ex[1] + beam.c * ex[2]
+        lb = beam.a * ey[0] + beam.b * ey[1] + beam.c * ey[2]
+        lc = beam.a * ez[0] + beam.b * ez[1] + beam.c * ez[2]
+        safe_lb = jnp.where(lb == 0, 1.0, lb)
+        path = jnp.where(good, -ly / safe_lb, 0.0)
+        lx = lx + la * path
+        lz = lz + lc * path
+        ly = jnp.where(good, 0.0, ly)
+
+        keep = self.inside(lx, lz)
+        if self.isBeamStop:
+            keep = ~keep
+        state = jnp.where(good & ~keep, config.STATE_DEAD, beam.state)
+        updates = dict(x=lx, y=ly, z=lz, a=la, b=lb, c=lc, state=state,
+                       path=beam.path + path)
+        if beam.Es is not None:
+            propPhase = jnp.exp(1e7j * (beam.E / CHBAR) * path)
+            updates['Es'] = jnp.where(good, beam.Es * propPhase, beam.Es)
+            updates['Ep'] = jnp.where(good, beam.Ep * propPhase, beam.Ep)
+        lo = beam.replace(**updates)
+        if needNewGlobal:
+            gx = self.center[0] + lo.x * ex[0] + lo.y * ey[0] + lo.z * ez[0]
+            gy = self.center[1] + lo.x * ex[1] + lo.y * ey[1] + lo.z * ez[1]
+            gz = self.center[2] + lo.x * ex[2] + lo.y * ey[2] + lo.z * ez[2]
+            ga = lo.a * ex[0] + lo.b * ey[0] + lo.c * ez[0]
+            gb = lo.a * ex[1] + lo.b * ey[1] + lo.c * ez[1]
+            gc = lo.a * ex[2] + lo.b * ey[2] + lo.c * ez[2]
+            glo = lo.replace(x=gx, y=gy, z=gz, a=ga, b=gb, c=gc)
+            return glo, lo
+        return lo
+
+
+def _frame(x, z, dt):
+    ex = jnp.asarray(x if x not in (None, 'auto') else (1, 0, 0), dt)
+    ex = ex / jnp.linalg.norm(ex)
+    ez = jnp.asarray(z if z not in (None, 'auto') else (0, 0, 1), dt)
+    ez = ez / jnp.linalg.norm(ez)
+    return ex, ez
+
+
+@struct.dataclass
+class RectangularAperture(_ApertureBase):
+    """Opening given by blade positions (left, right, bottom, top) in the
+    local (x, z) plane, any subset of which may be present (+-inf when
+    absent)."""
+    left: jnp.ndarray = None
+    right: jnp.ndarray = None
+    bottom: jnp.ndarray = None
+    top: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0),
+               kind=('left', 'right', 'bottom', 'top'),
+               opening=(-10, 10, -2, 2), x='auto', z='auto',
+               isBeamStop=False):
+        dt = config.dtype()
+        blades = dict(zip(kind, opening))
+        ex, ez = _frame(x, z, dt)
+        inf = float('inf')
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop,
+                   left=jnp.asarray(blades.get('left', -inf), dt),
+                   right=jnp.asarray(blades.get('right', inf), dt),
+                   bottom=jnp.asarray(blades.get('bottom', -inf), dt),
+                   top=jnp.asarray(blades.get('top', inf), dt))
+
+    def inside(self, x, z):
+        return (x >= self.left) & (x <= self.right) & \
+               (z >= self.bottom) & (z <= self.top)
+
+    @property
+    def opening(self):
+        return [self.left, self.right, self.bottom, self.top]
+
+
+def RectangularBeamStop(name='', center=(0, 0, 0),
+                        kind=('left', 'right', 'bottom', 'top'),
+                        opening=(-10, 10, -2, 2), x='auto', z='auto'):
+    """RectangularAperture in beam-stop mode (apertures.py:543)."""
+    return RectangularAperture.create(name, center, kind, opening, x, z,
+                                      isBeamStop=True)
+
+
+@struct.dataclass
+class RoundAperture(_ApertureBase):
+    """Round opening of radius r (apertures.py:668)."""
+    r: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0), r=1.0, x='auto', z='auto',
+               isBeamStop=False):
+        dt = config.dtype()
+        ex, ez = _frame(x, z, dt)
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop, r=jnp.asarray(r, dt))
+
+    def inside(self, x, z):
+        return x ** 2 + z ** 2 <= self.r ** 2
+
+
+def RoundBeamStop(name='', center=(0, 0, 0), r=1.0, x='auto', z='auto'):
+    """RoundAperture in beam-stop mode (apertures.py:916)."""
+    return RoundAperture.create(name, center, r, x, z, isBeamStop=True)
+
+
+@struct.dataclass
+class DoubleSlit(_ApertureBase):
+    """Two parallel vertical slits (apertures.py:931): an outer rectangular
+    opening with an opaque shade strip of fractional width *shadeW* at
+    position *shadeX* (fractions of the full x opening)."""
+    left: jnp.ndarray = None
+    right: jnp.ndarray = None
+    bottom: jnp.ndarray = None
+    top: jnp.ndarray = None
+    shadeLeft: jnp.ndarray = None
+    shadeRight: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0), opening=(-1, 1, -1, 1),
+               shadeFraction=(0.3, 0.7), x='auto', z='auto',
+               isBeamStop=False):
+        dt = config.dtype()
+        ex, ez = _frame(x, z, dt)
+        le, ri, bo, to = opening
+        width = ri - le
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop,
+                   left=jnp.asarray(le, dt), right=jnp.asarray(ri, dt),
+                   bottom=jnp.asarray(bo, dt), top=jnp.asarray(to, dt),
+                   shadeLeft=jnp.asarray(le + shadeFraction[0] * width, dt),
+                   shadeRight=jnp.asarray(le + shadeFraction[1] * width, dt))
+
+    def inside(self, x, z):
+        inRect = (x >= self.left) & (x <= self.right) & \
+                 (z >= self.bottom) & (z <= self.top)
+        inShade = (x > self.shadeLeft) & (x < self.shadeRight)
+        return inRect & ~inShade
+
+
+@struct.dataclass
+class PolygonalAperture(_ApertureBase):
+    """Opening bounded by a closed polygon given by its vertices (N, 2) in
+    the local (x, z) plane (apertures.py:1035).  Containment by the
+    even-odd (crossing-number) rule, vectorized over rays x edges."""
+    vertices: jnp.ndarray = None   # (N, 2)
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0), opening=None, x='auto',
+               z='auto', isBeamStop=False):
+        dt = config.dtype()
+        ex, ez = _frame(x, z, dt)
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop,
+                   vertices=jnp.asarray(opening, dt))
+
+    def inside(self, x, z):
+        v = self.vertices
+        x1 = v[:, 0]
+        z1 = v[:, 1]
+        x2 = jnp.roll(v[:, 0], -1)
+        z2 = jnp.roll(v[:, 1], -1)
+        # crossing number: edge crosses the horizontal ray from (x, z)
+        xp = x[:, None]
+        zp = z[:, None]
+        cond = ((z1[None, :] > zp) != (z2[None, :] > zp))
+        dz_ = jnp.where(z2 - z1 == 0, 1.0, z2 - z1)[None, :]
+        xCross = x1[None, :] + (zp - z1[None, :]) * (x2 - x1)[None, :] / dz_
+        crossings = jnp.sum(cond & (xp < xCross), axis=1)
+        return (crossings % 2) == 1
+
+
+def PolygonalBeamStop(name='', center=(0, 0, 0), opening=None, x='auto',
+                      z='auto'):
+    return PolygonalAperture.create(name, center, opening, x, z,
+                                    isBeamStop=True)
+
+
+@struct.dataclass
+class GridAperture(_ApertureBase):
+    """Cartesian grid of rectangular holes (apertures.py:1324-1449):
+    hole half-sizes (dx, dz), pitches (px, pz), counts (nx, nz) on each side
+    of the center."""
+    dx: jnp.ndarray = None
+    dz: jnp.ndarray = None
+    px: jnp.ndarray = None
+    pz: jnp.ndarray = None
+    nx: int = struct.field(pytree_node=False, default=7)
+    nz: int = struct.field(pytree_node=False, default=7)
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0), dx=0.1, dz=0.1, px=1.0,
+               pz=1.0, nx=7, nz=7, x='auto', z='auto', isBeamStop=False):
+        dt = config.dtype()
+        ex, ez = _frame(x, z, dt)
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop,
+                   dx=jnp.asarray(dx, dt), dz=jnp.asarray(dz, dt),
+                   px=jnp.asarray(px, dt), pz=jnp.asarray(pz, dt),
+                   nx=int(nx), nz=int(nz))
+
+    def inside(self, x, z):
+        hx = jnp.abs(x - jnp.round(x / self.px) * self.px) <= self.dx
+        hz = jnp.abs(z - jnp.round(z / self.pz) * self.pz) <= self.dz
+        inGridX = jnp.abs(x) <= (self.nx + 0.5) * self.px
+        inGridZ = jnp.abs(z) <= (self.nz + 0.5) * self.pz
+        return hx & hz & inGridX & inGridZ
+
+
+@struct.dataclass
+class SiemensStar(_ApertureBase):
+    """Siemens star resolution pattern (apertures.py:1462): *nSpokes* opaque
+    spokes within radius *r*; transparent elsewhere inside *rOut*."""
+    r: jnp.ndarray = None
+    nSpokes: int = struct.field(pytree_node=False, default=9)
+    vortex: int = struct.field(pytree_node=False, default=0)
+    phi0: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, name='', center=(0, 0, 0), nSpokes=9, r=1.0, phi0=0.0,
+               vortex=0, x='auto', z='auto', isBeamStop=False):
+        dt = config.dtype()
+        ex, ez = _frame(x, z, dt)
+        return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
+                   isBeamStop=isBeamStop, r=jnp.asarray(r, dt),
+                   nSpokes=int(nSpokes), vortex=int(vortex),
+                   phi0=jnp.asarray(phi0, dt))
+
+    def inside(self, x, z):
+        rho = jnp.sqrt(x ** 2 + z ** 2)
+        phi = jnp.arctan2(z, x) - self.phi0
+        if self.vortex:
+            phi = phi + self.vortex * jnp.log(jnp.maximum(rho, 1e-12))
+        spoke = jnp.sin(self.nSpokes * phi) > 0
+        return (rho <= self.r) & ~spoke

@@ -40,6 +40,15 @@ class Beam:
     Jsp: jnp.ndarray
     Es: Optional[jnp.ndarray] = None
     Ep: Optional[jnp.ndarray] = None
+    # incidence angle at the last OE (rad, from surface) and grating order
+    theta: Optional[jnp.ndarray] = None
+    order: Optional[jnp.ndarray] = None
+    # number of reflections in multiple-reflection elements
+    nRefl: Optional[jnp.ndarray] = None
+    # parametric coordinates of the last impact point (parametric OEs)
+    s: Optional[jnp.ndarray] = None
+    phi: Optional[jnp.ndarray] = None
+    r: Optional[jnp.ndarray] = None
     # accumulated flux bookkeeping for Monte-Carlo sources (scalars)
     accepted: Optional[jnp.ndarray] = None   # accepted flux, ph/s
     acceptedE: Optional[jnp.ndarray] = None  # accepted power-weighted flux

@@ -1,0 +1,204 @@
+"""Stock mirrors: bent-flat (cylindrical), spherical, toroidal, conical.
+
+TPU-native re-implementation of the reference stock mirrors
+(xrt/backends/raycing/oes/__init__.py: BentFlatMirror:237, ToroidMirror:317,
+ConicalMirror:586) and the Coddington helpers (oes/base.py:649-674).
+Parametric elliptical/parabolic/hyperbolic mirrors live in
+xrt_tpu.oes.parametric.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from .. import config
+from .base import OE
+
+
+def rmer_from_coddington(p, q, pitch):
+    """Meridional radius 2pq/(p+q)/sin(pitch) (base.py:649-660)."""
+    return 2 * p * q / (p + q) / jnp.sin(jnp.abs(pitch))
+
+
+def rsag_from_coddington(p, q, pitch):
+    """Sagittal radius 2pq/(p+q)*sin(pitch) (base.py:662-673)."""
+    return 2 * p * q / (p + q) * jnp.sin(jnp.abs(pitch))
+
+
+def _resolve_R(R, pitch):
+    if isinstance(R, (tuple, list)):
+        if len(R) == 3:
+            return rmer_from_coddington(R[0], R[1], R[2])
+        return rmer_from_coddington(R[0], R[1], pitch)
+    if R in (0, None):
+        return 1e100
+    return R
+
+
+def _resolve_r(r, pitch):
+    if isinstance(r, (tuple, list)):
+        if len(r) == 3:
+            return rsag_from_coddington(r[0], r[1], r[2])
+        return rsag_from_coddington(r[0], r[1], pitch)
+    if r in (0, None):
+        return 1e100
+    return r
+
+
+@struct.dataclass
+class FlatMirror(OE):
+    """A plane mirror (the plain reference OE with default surface)."""
+
+
+@struct.dataclass
+class BentFlatMirror(OE):
+    """Meridionally bent parabolic cylinder with fixed ends
+    (oes/__init__.py:237-301): z = (y^2 - limPhysY[0]^2)/(2R)."""
+    R: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, R=5.0e6, pitch=0.0, **kwargs):
+        Rv = _resolve_R(R, pitch)
+        return super(BentFlatMirror, cls).create(
+            pitch=pitch, R=jnp.asarray(Rv, config.dtype()), **kwargs)
+
+    def local_z(self, x, y):
+        return (y ** 2 - self.limPhysY[0] ** 2) / 2.0 / self.R
+
+    def local_n(self, x, y):
+        b = -y / self.R
+        norm = jnp.sqrt(b ** 2 + 1)
+        return [jnp.zeros_like(x), b / norm, 1.0 / norm]
+
+
+SimpleVCM = BentFlatMirror
+VCM = BentFlatMirror
+
+
+@struct.dataclass
+class SphericalMirror(OE):
+    """Spherical mirror of radius R: z = R - sqrt(R^2 - x^2 - y^2)."""
+    R: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, R=5.0e6, pitch=0.0, **kwargs):
+        Rv = _resolve_R(R, pitch)
+        return super(SphericalMirror, cls).create(
+            pitch=pitch, R=jnp.asarray(Rv, config.dtype()), **kwargs)
+
+    def local_z(self, x, y):
+        rho2 = jnp.clip(self.R ** 2 - x ** 2 - y ** 2, 0.0, None)
+        return self.R - jnp.sqrt(rho2)
+
+    def local_n(self, x, y):
+        rho2 = jnp.clip(self.R ** 2 - x ** 2 - y ** 2, 1e-30, None)
+        s = jnp.sqrt(rho2)
+        a = -x / s
+        b = -y / s
+        norm = jnp.sqrt(a ** 2 + b ** 2 + 1)
+        return [a / norm, b / norm, 1.0 / norm]
+
+
+@struct.dataclass
+class ToroidMirror(OE):
+    """Toroidal mirror with meridional R and sagittal r
+    (oes/__init__.py:317-411); becomes flat at the sagittal equator."""
+    R: jnp.ndarray = None
+    r: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, R=5.0e6, r=50.0, pitch=0.0, **kwargs):
+        dt = config.dtype()
+        return super(ToroidMirror, cls).create(
+            pitch=pitch, R=jnp.asarray(_resolve_R(R, pitch), dt),
+            r=jnp.asarray(_resolve_r(r, pitch), dt), **kwargs)
+
+    def local_z(self, x, y):
+        rx = jnp.clip(1 - (x / self.r) ** 2, 0.0, None)
+        return y ** 2 / 2.0 / self.R + self.r * (1 - jnp.sqrt(rx))
+
+    def local_n(self, x, y):
+        rx = 1 - (x / self.r) ** 2
+        ax = jnp.where(rx <= 0, 0.0, 1.0 / jnp.sqrt(jnp.clip(rx, 1e-30,
+                                                             None)))
+        a = -x / self.r * ax
+        b = -y / self.R
+        norm = jnp.sqrt(a ** 2 + b ** 2 + 1)
+        return [a / norm, b / norm, 1.0 / norm]
+
+
+SimpleVFM = ToroidMirror
+VFM = ToroidMirror
+
+
+@struct.dataclass
+class CylindricalMirror(OE):
+    """Sagittal cylinder of radius r (round pipe along y):
+    z = r - sqrt(r^2 - x^2)."""
+    r: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, r=50.0, pitch=0.0, **kwargs):
+        return super(CylindricalMirror, cls).create(
+            pitch=pitch, r=jnp.asarray(_resolve_r(r, pitch),
+                                       config.dtype()), **kwargs)
+
+    def local_z(self, x, y):
+        rx = jnp.clip(1 - (x / self.r) ** 2, 0.0, None)
+        return self.r * (1 - jnp.sqrt(rx))
+
+    def local_n(self, x, y):
+        rx = 1 - (x / self.r) ** 2
+        ax = jnp.where(rx <= 0, 0.0, 1.0 / jnp.sqrt(jnp.clip(rx, 1e-30,
+                                                             None)))
+        a = -x / self.r * ax
+        norm = jnp.sqrt(a ** 2 + 1)
+        return [a / norm, jnp.zeros_like(y), 1.0 / norm]
+
+
+@struct.dataclass
+class ConicalMirror(OE):
+    """Conical mirror with its base parallel to the cone side
+    (oes/__init__.py:586-633).  *L0* is the distance from the mirror center
+    to the cone vertex along the surface, *theta* the opening angle."""
+    L0: jnp.ndarray = None
+    theta_c: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, L0=1000.0, theta=math.pi / 6, **kwargs):
+        dt = config.dtype()
+        return super(ConicalMirror, cls).create(
+            L0=jnp.asarray(L0, dt), theta_c=jnp.asarray(theta, dt), **kwargs)
+
+    @property
+    def _tt(self):
+        return jnp.tan(self.theta_c)
+
+    @property
+    def _t2t(self):
+        return jnp.tan(2 * self.theta_c)
+
+    @property
+    def _redfocus(self):
+        return jnp.cos(self.theta_c) ** 2 / (1.0 / self._tt -
+                                             1.0 / self._t2t)
+
+    def local_z(self, x, y):
+        t2t = self._t2t
+        sqroot = jnp.sqrt(jnp.clip(
+            0.25 * t2t ** 2 * (y - self.L0) ** 2 -
+            self._redfocus * t2t * x ** 2, 0.0, None))
+        return -0.5 * t2t * (y - self.L0) - jnp.sign(t2t) * sqroot
+
+    def local_n(self, x, y):
+        t2t = self._t2t
+        sqroot = jnp.sign(t2t) * jnp.sqrt(jnp.clip(
+            0.25 * t2t ** 2 * (y - self.L0) ** 2 -
+            self._redfocus * x * x * t2t, 1e-30, None))
+        a = -x * self._redfocus * t2t / sqroot
+        b = 0.5 * t2t + 0.25 * t2t ** 2 * (y - self.L0) / sqroot
+        norm = jnp.sqrt(a ** 2 + b ** 2 + 1)
+        return [a / norm, b / norm, 1.0 / norm]
