@@ -58,3 +58,52 @@ dest = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
                     'ref_sources.npz')
 np.savez_compressed(os.path.abspath(dest), **out)
 print('wrote', os.path.abspath(dest))
+
+# ---- Undulator far-field / taper / near-field maps ----------------------
+und = rs.Undulator(bl=bl, name='und', nrays=100, eE=6.0, eI=0.1,
+                   eEpsilonX=0., eEpsilonZ=0., period=33., n=50, K=1.5,
+                   eMin=9000, eMax=9600, xPrimeMax=0.02, zPrimeMax=0.02,
+                   gNodes=400, gIntervals=2, targetOpenCL=None)
+Eu, thu, psu = np.meshgrid(np.linspace(9000, 9600, 7),
+                           np.linspace(-2e-5, 2e-5, 5),
+                           np.linspace(-2e-5, 2e-5, 5), indexing='ij')
+Iu, Esu, Epu = und.build_I_map(Eu.ravel(), thu.ravel(), psu.ravel())
+out2 = {}
+out2['und_E'] = Eu.ravel(); out2['und_theta'] = thu.ravel()
+out2['und_psi'] = psu.ravel()
+out2['und_I'] = Iu; out2['und_Es'] = Esu; out2['und_Ep'] = Epu
+out2['und_E1'] = und.E1
+out2['und_sigma_r02'] = und.get_sigma_r02(Eu.ravel()[:5])
+out2['und_sigmaP_r02'] = und.get_sigmaP_r02(Eu.ravel()[:5])
+
+# tapered
+undt = rs.Undulator(bl=bl, name='undt', nrays=100, eE=6.0, eI=0.1,
+                    eEpsilonX=0., eEpsilonZ=0., period=33., n=10, K=1.5,
+                    eMin=9000, eMax=9600, xPrimeMax=0.02, zPrimeMax=0.02,
+                    gNodes=120, gIntervals=2, targetOpenCL=None,
+                    taper=(1.09, 11.))
+Iut, Esut, Eput = undt.build_I_map(Eu.ravel(), thu.ravel(), psu.ravel())
+out2['undt_I'] = Iut; out2['undt_Es'] = Esut; out2['undt_Ep'] = Eput
+out2['undt_taperVal'] = undt._taperVal
+
+# near field
+undn = rs.Undulator(bl=bl, name='undn', nrays=100, eE=6.0, eI=0.1,
+                    eEpsilonX=0., eEpsilonZ=0., period=33., n=10, K=1.5,
+                    eMin=9000, eMax=9600, xPrimeMax=0.02, zPrimeMax=0.02,
+                    gNodes=120, gIntervals=2, targetOpenCL=None, R0=5000.)
+Iun, Esun, Epun = undn.build_I_map(Eu.ravel(), thu.ravel(), psu.ravel())
+out2['undn_I'] = Iun; out2['undn_Es'] = Esun; out2['undn_Ep'] = Epun
+
+# elliptic with phase
+unde = rs.Undulator(bl=bl, name='unde', nrays=100, eE=6.0, eI=0.1,
+                    eEpsilonX=0., eEpsilonZ=0., period=33., n=50,
+                    Kx=1.0, Ky=1.2, phaseDeg=30., eMin=4000, eMax=4500,
+                    xPrimeMax=0.02, zPrimeMax=0.02,
+                    gNodes=400, gIntervals=2, targetOpenCL=None)
+Iue, Esue, Epue = unde.build_I_map(Eu.ravel()*0.5, thu.ravel(), psu.ravel())
+out2['unde_I'] = Iue; out2['unde_Es'] = Esue; out2['unde_Ep'] = Epue
+
+dest2 = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
+                     'ref_undulator.npz')
+np.savez_compressed(os.path.abspath(dest2), **out2)
+print('wrote', os.path.abspath(dest2))

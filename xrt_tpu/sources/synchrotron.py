@@ -172,7 +172,9 @@ class _SynchrotronBase:
         if float(self.dxprime) > 0:
             dtheta = dtheta + self.dxprime * jax.random.normal(keys[5],
                                                                (nrays,), dt)
-        if not getattr(self, 'isMPW', False):
+        if getattr(self, '_smear_1_over_gamma', False):
+            # BM only: natural vertical-like opening in theta
+            # (synchr.py:381-382)
             dtheta = dtheta + jax.random.normal(keys[6], (nrays,), dt) \
                 / self.gamma
         if float(self.dzprime) > 0:
@@ -266,6 +268,7 @@ class BendingMagnet(_SynchrotronBase):
 
     isMPW = False
     Np = 0.5
+    _smear_1_over_gamma = True
 
     @property
     def ro(self):
@@ -323,6 +326,7 @@ class Wiggler(BendingMagnet):
     n: int = struct.field(pytree_node=False, default=40)        # periods
 
     isMPW = True
+    _smear_1_over_gamma = False
 
     @classmethod
     def create(cls, name='', K=10.0, period=50.0, n=40, B0=None, **kwargs):
