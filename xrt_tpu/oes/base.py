@@ -170,9 +170,17 @@ class _OEMethods:
 
     def local_n(self, x, y):
         """Surface normal [nx, ny, nz] (or 6-list [bragg-normal, surface
-        normal] for asymmetric crystals); default (0,0,1)
-        (cf. base.py:720)."""
-        return [jnp.zeros_like(x), jnp.zeros_like(x), jnp.ones_like(x)]
+        normal] for asymmetric crystals); default (0,0,1), with the crystal
+        asymmetry angle *alpha* rotating the Bragg-plane normal about x
+        (cf. base.py:720-744)."""
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        if getattr(self, 'alpha', None) is not None:
+            from ..transforms import rotate_x as _rx
+            bA, cA = _rx(zero, one, jnp.cos(self.alpha),
+                         -jnp.sin(self.alpha))
+            return [zero, bA, cA, zero, zero, one]
+        return [zero, zero, one]
 
     def local_g(self, x, y):
         """Local groove/zone vector for gratings/FZPs, 1/mm."""
@@ -207,13 +215,17 @@ class _OEMethods:
         return surf
 
     # ---- classification --------------------------------------------------
-    def rays_good(self, x, y, state, lostNum=config.STATE_DEAD):
+    def rays_good(self, x, y, state, lostNum=config.STATE_DEAD,
+                  limits=None):
         """Good/out/over/dead classification against physical and optical
         limits (cf. base.py:1094-1164).  Returns the new state array."""
-        limPhysX = self.limPhysX
-        limPhysY = self.limPhysY
-        limOptX = self.limOptX
-        limOptY = self.limOptY
+        if limits is not None:
+            limPhysX, limPhysY, limOptX, limOptY = limits
+        else:
+            limPhysX = self.limPhysX
+            limPhysY = self.limPhysY
+            limOptX = self.limOptX
+            limOptY = self.limOptY
         locState = jnp.ones_like(state)
         if self.shape == 'rect':
             if limOptX is not None:
@@ -252,7 +264,12 @@ class _OEMethods:
         return jnp.where(state == 1, locState, state)
 
     # ---- bracketing (cf. base.py:1218-1297) ------------------------------
-    def _bracket(self, x, y, z, a, b, c, good):
+    def _bracket(self, x, y, z, a, b, c, good, limPhysX=None,
+                 limPhysY=None):
+        if limPhysX is None:
+            limPhysX = self.limPhysX
+        if limPhysY is None:
+            limPhysY = self.limPhysY
         def set_t(xyz, abc, lim, defSize):
             if lim is None:
                 limMin = -defSize
@@ -269,8 +286,8 @@ class _OEMethods:
             return tA, tB
 
         # reference picks the globally dominant direction; we pick per ray
-        tx1, tx2 = set_t(x, a, self.limPhysX, MAX_HALF_SIZE_OF_OE)
-        ty1, ty2 = set_t(y, b, self.limPhysY, MAX_HALF_SIZE_OF_OE)
+        tx1, tx2 = set_t(x, a, limPhysX, MAX_HALF_SIZE_OF_OE)
+        ty1, ty2 = set_t(y, b, limPhysY, MAX_HALF_SIZE_OF_OE)
         tz1, tz2 = set_t(z, c, None, MAX_DEPTH_OF_OE)
         absa, absb, absc = jnp.abs(a), jnp.abs(b), jnp.abs(c)
         useX = (absa >= absb) & (absa >= absc)
@@ -337,10 +354,17 @@ class _OEMethods:
 
     def _reflect_local(self, lb, good, key, pitch, roll, yaw,
                        dx=None, dy=None, dz=None, fromVacuum=True,
-                       is2ndXtal=False, noIntersectionSearch=False):
+                       is2ndXtal=False, noIntersectionSearch=False,
+                       local_z=None, local_n=None, material=None,
+                       limits=None):
         """The virgin-local-frame part of reflect (cf. reflect.py:551-1139).
         Returns (virgin-local beam, true-local beam)."""
-        material = self.material
+        if material is None:
+            material = self.material
+        if local_z is None:
+            local_z = self.local_z
+        if local_n is None:
+            local_n = self.local_n
         lb_in = lb
         if is2ndXtal:
             lb = rotate_beam(lb, roll=math.pi, skip_zero=False)
@@ -361,14 +385,26 @@ class _OEMethods:
 
         invertNormal = 1 if fromVacuum else -1
 
-        tMin, tMax = self._bracket(lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, good)
+        limPhysX, limPhysY, limOptX, limOptY = limits if limits is not \
+            None else (self.limPhysX, self.limPhysY, self.limOptX,
+                       self.limOptY)
+
+        def surface(x, y):
+            surf = local_z(x, y)
+            dist = self.local_z_distorted(x, y)
+            if dist is not None:
+                surf = surf + dist
+            return surf
+
+        tMin, tMax = self._bracket(lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, good,
+                                   limPhysX, limPhysY)
         if noIntersectionSearch:
             t = jnp.zeros_like(lb.x)
             xx, yy, zz = lb.x, lb.y, lb.z
             lost_mask = jnp.zeros_like(good)
         else:
             t, xx, yy, zz, lost_mask = find_intersection(
-                self._surface_with_distortion, tMin, tMax,
+                surface, tMin, tMax,
                 lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, invertNormal,
                 active=good)
         x_new = jnp.where(good, xx, lb.x)
@@ -376,14 +412,17 @@ class _OEMethods:
         z_new = jnp.where(good, zz, lb.z)
         lb = lb.replace(x=x_new, y=y_new, z=z_new)
 
-        state = self.rays_good(lb.x, lb.y, lb.state)
+        state = self.rays_good(lb.x, lb.y, lb.state,
+                               limits=(limPhysX, limPhysY, limOptX,
+                                       limOptY))
         state = jnp.where(good & lost_mask, config.STATE_DEAD, state)
         state = jnp.where(good, state, lb.state)
         lb = lb.replace(state=state)
         goodN = state == 1
         lb = lb.replace(path=jnp.where(goodN, lb.path + t, lb.path))
 
-        lb = self._interact(lb, goodN, key, roll, fromVacuum, t, material)
+        lb = self._interact(lb, goodN, key, roll, fromVacuum, t, material,
+                            local_n)
 
         # back to virgin local
         vlb = lb
@@ -406,15 +445,18 @@ class _OEMethods:
         return vlb, lb
 
     # ---- the physics at the surface --------------------------------------
-    def _interact(self, lb, goodN, key, roll, fromVacuum, tMax, material):
+    def _interact(self, lb, goodN, key, roll, fromVacuum, tMax, material,
+                  local_n=None):
         """Direction update + reflectivity/transmittivity + polarization
         bookkeeping for rays with state==1 (cf. reflect.py:713-1110)."""
+        if local_n is None:
+            local_n = self.local_n
         matSur = material[self.curSurface] \
             if isinstance(material, (list, tuple)) else material
         kind = 'mirror' if matSur is None else \
             matSur.resolved_kind(self.auto_material_kind)
 
-        normal = list(self.local_n(lb.x, lb.y))
+        normal = list(local_n(lb.x, lb.y))
         n_dist = self.local_n_distorted(lb.x, lb.y)
         if n_dist is not None:
             if len(n_dist) == 2:
@@ -659,6 +701,7 @@ class OE(_OEMethods):
     limPhysY: Optional[jnp.ndarray] = None
     limOptX: Optional[jnp.ndarray] = None
     limOptY: Optional[jnp.ndarray] = None
+    alpha: Optional[jnp.ndarray] = None
     material: Any = None
     figure_error: Any = None
     name: str = struct.field(pytree_node=False, default='')
@@ -677,7 +720,7 @@ class OE(_OEMethods):
                positionRoll=0.0, bragg=None, extraPitch=0.0, extraRoll=0.0,
                extraYaw=0.0, limPhysX=(-math.inf, math.inf),
                limPhysY=(-math.inf, math.inf), limOptX=None, limOptY=None,
-               material=None, figure_error=None, shape='rect',
+               alpha=None, material=None, figure_error=None, shape='rect',
                rotationSequence='RzRyRx', extraRotationSequence='RzRyRx',
                order=1, curSurface=0, overEdge='ymax', **kwargs):
         dt = config.dtype()
@@ -694,7 +737,7 @@ class OE(_OEMethods):
                    extraYaw=arr(extraYaw) if hasExtra else None,
                    limPhysX=arr(limPhysX), limPhysY=arr(limPhysY),
                    limOptX=arr(limOptX), limOptY=arr(limOptY),
-                   material=material, figure_error=figure_error, name=name,
+                   alpha=arr(alpha), material=material, figure_error=figure_error, name=name,
                    shape=shape, rotationSequence=rotationSequence,
                    extraRotationSequence=extraRotationSequence, order=order,
                    curSurface=curSurface, overEdge=overEdge, **kwargs)
