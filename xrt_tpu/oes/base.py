@@ -55,13 +55,23 @@ def _z_eps(dtype):
 
 
 def find_intersection(surface_fn, tMin, tMax, x, y, z, a, b, c,
-                      invertNormal=1, active=None,
-                      max_iterations=None):
-    """Vectorized bracketed root-finding of f(t) = (z_ray(t) - surf) along
-    each ray (cf. reference find_intersection base.py:848-886 + the solvers
-    at :933-1048).
+                      invertNormal=1, active=None, max_iterations=None):
+    """Bracketed root-find against an explicit surface z(x, y); see
+    :func:`find_intersection_dz` for the general form."""
+    def dz_fn(xx, yy, zz):
+        surf = surface_fn(xx, yy)
+        surf = jnp.where(jnp.isnan(surf), 0.0, surf)
+        return (zz - surf) * invertNormal
+    return find_intersection_dz(dz_fn, tMin, tMax, x, y, z, a, b, c,
+                                active, max_iterations)
 
-    *surface_fn(x, y) -> z* is the surface height.  Returns
+
+def find_intersection_dz(dz_fn, tMin, tMax, x, y, z, a, b, c,
+                         active=None, max_iterations=None):
+    """Vectorized bracketed root-finding of dz(t) along each ray
+    (cf. reference find_intersection base.py:848-886 + the solvers at
+    :933-1048).  *dz_fn(x, y, z) -> signed distance* must be positive at
+    tMin and negative at tMax for rays that intersect.  Returns
     (t, x2, y2, z2, lost_mask) where lost_mask marks rays already below the
     surface at tMin (reference's ind1)."""
     dt = x.dtype
@@ -75,9 +85,7 @@ def find_intersection(surface_fn, tMin, tMax, x, y, z, a, b, c,
         xx = x + a * t
         yy = y + b * t
         zz = z + c * t
-        surf = surface_fn(xx, yy)
-        surf = jnp.where(jnp.isnan(surf), 0.0, surf)
-        return (zz - surf) * invertNormal, xx, yy, zz
+        return dz_fn(xx, yy, zz), xx, yy, zz
 
     dz1, x1, y1, z1 = f(tMin)
     dz2, x2, y2, z2 = f(tMax)
@@ -184,6 +192,22 @@ class _OEMethods:
 
     def local_g(self, x, y):
         """Local groove/zone vector for gratings/FZPs, 1/mm."""
+        raise NotImplementedError
+
+    # ---- parametric interface (isParametric = True subclasses) ----------
+    def local_r(self, s, phi):
+        """Radial surface coordinate of a parametric OE (base.py:761)."""
+        raise NotImplementedError
+
+    def local_r_distorted(self, s, phi):
+        if getattr(self, 'figure_error', None) is not None:
+            return self.figure_error.local_r_distorted(s, phi)
+        return None
+
+    def xyz_to_param(self, x, y, z):
+        raise NotImplementedError
+
+    def param_to_xyz(self, s, phi, r):
         raise NotImplementedError
 
     def local_z_distorted(self, x, y):
@@ -325,6 +349,60 @@ class _OEMethods:
         norm = jnp.sqrt(a_out ** 2 + b_out ** 2 + c_out ** 2)
         return a_out / norm, b_out / norm, c_out / norm, locOrder
 
+    def local_to_global(self, lb: Beam, is2ndXtal=False) -> Beam:
+        """Transform a true-local beam into the global frame, rotating the
+        polarization back by the local roll (cf. reference base.py:1166-1243
+        local_to_global).  Pure: returns a new Beam."""
+        from ..beam import rotate_coherency_matrix as _rcm
+        if is2ndXtal and hasattr(self, 'braggAngle'):  # DCM second crystal
+            pitch = -self.pitch - self.braggAngle + self.cryst2pitch + \
+                self.cryst2finePitch
+            roll = self.roll + self.cryst2roll + self.positionRoll
+            yaw = -self.yaw
+            dx, dy, dz = -self.dxCryst, self.cryst2longTransl, \
+                -self.cryst2perpTransl
+        elif hasattr(self, 'braggAngle'):
+            pitch = self.pitch + self.braggAngle
+            roll = self.roll + self.positionRoll + self.cryst1roll
+            yaw = self.yaw
+            dx, dy, dz = self.dxCryst, None, None
+        else:
+            pitch, roll, yaw = self._placement()[0:3]
+            dx = dy = dz = None
+        if dx is not None:
+            lb = lb.replace(x=lb.x + dx)
+        if dy is not None:
+            lb = lb.replace(y=lb.y + dy)
+        if dz is not None:
+            lb = lb.replace(z=lb.z + dz)
+        if self.extraPitch is not None:
+            sign = -1.0 if is2ndXtal else 1.0
+            lb = rotate_beam(
+                lb, rotationSequence='-' + self.extraRotationSequence,
+                pitch=sign * self.extraPitch, roll=self.extraRoll,
+                yaw=sign * self.extraYaw, skip_zero=False)
+        lb = rotate_beam(lb, rotationSequence='-' + self.rotationSequence,
+                         pitch=pitch, roll=roll, yaw=yaw, skip_zero=False)
+        if is2ndXtal and hasattr(self, 'braggAngle'):
+            lb = rotate_beam(lb, roll=math.pi, skip_zero=False)
+        # rotate the polarization frame back by the local roll
+        if self.isParametric:
+            sP, phiP, _ = self.xyz_to_param(lb.x, lb.y, lb.z)
+            normal = self.local_n(sP, phiP)
+        else:
+            normal = self.local_n(lb.x, lb.y)
+        ones = jnp.ones_like(lb.x)
+        rollAngle = self.roll + self.positionRoll + \
+            jnp.arctan2(normal[-3] * ones, normal[-1] * ones)
+        Jss, Jpp, Jsp = _rcm(lb.Jss, lb.Jpp, lb.Jsp, rollAngle)
+        updates = dict(Jss=Jss, Jpp=Jpp, Jsp=Jsp)
+        if lb.Es is not None:
+            cosY, sinY = jnp.cos(rollAngle), jnp.sin(rollAngle)
+            Es, Ep = rotate_y(lb.Es, lb.Ep, cosY, sinY)
+            updates.update(Es=Es, Ep=Ep)
+        lb = lb.replace(**updates)
+        return virgin_local_to_global(lb, self.center)
+
     # ---- the main trace method -------------------------------------------
     def reflect(self, beam: Beam, key=None, needLocal=True,
                 noIntersectionSearch=False, is2ndXtal=False,
@@ -359,10 +437,11 @@ class _OEMethods:
                        limits=None):
         """The virgin-local-frame part of reflect (cf. reflect.py:551-1139).
         Returns (virgin-local beam, true-local beam)."""
+        isParam = getattr(self, 'isParametric', False)
         if material is None:
             material = self.material
         if local_z is None:
-            local_z = self.local_z
+            local_z = self.local_r if isParam else self.local_z
         if local_n is None:
             local_n = self.local_n
         lb_in = lb
@@ -383,18 +462,33 @@ class _OEMethods:
         if dz is not None:
             lb = lb.replace(z=lb.z - dz)
 
-        invertNormal = 1 if fromVacuum else -1
+        invertNormal = getattr(self, 'invertNormal', None)
+        if invertNormal is None:
+            invertNormal = 1 if fromVacuum else -1
 
         limPhysX, limPhysY, limOptX, limOptY = limits if limits is not \
             None else (self.limPhysX, self.limPhysY, self.limOptX,
                        self.limOptY)
 
-        def surface(x, y):
-            surf = local_z(x, y)
-            dist = self.local_z_distorted(x, y)
-            if dist is not None:
-                surf = surf + dist
-            return surf
+        if isParam:
+            # the signed distance in the radial parametric coordinate
+            # (cf. reference find_dz with diffSign=-1, base.py:801-846)
+            def dz_fn(xx, yy, zz):
+                s_, phi_, r_ = self.xyz_to_param(xx, yy, zz)
+                surf = local_z(s_, phi_)
+                dist = self.local_r_distorted(s_, phi_)
+                if dist is not None:
+                    surf = surf + dist
+                surf = jnp.where(jnp.isnan(surf), 0.0, surf)
+                return (surf - r_) * invertNormal
+        else:
+            def dz_fn(xx, yy, zz):
+                surf = local_z(xx, yy)
+                dist = self.local_z_distorted(xx, yy)
+                if dist is not None:
+                    surf = surf + dist
+                surf = jnp.where(jnp.isnan(surf), 0.0, surf)
+                return (zz - surf) * invertNormal
 
         tMin, tMax = self._bracket(lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, good,
                                    limPhysX, limPhysY)
@@ -403,18 +497,29 @@ class _OEMethods:
             xx, yy, zz = lb.x, lb.y, lb.z
             lost_mask = jnp.zeros_like(good)
         else:
-            t, xx, yy, zz, lost_mask = find_intersection(
-                surface, tMin, tMax,
-                lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, invertNormal,
+            t, xx, yy, zz, lost_mask = find_intersection_dz(
+                dz_fn, tMin, tMax,
+                lb.x, lb.y, lb.z, lb.a, lb.b, lb.c,
                 active=good)
         x_new = jnp.where(good, xx, lb.x)
         y_new = jnp.where(good, yy, lb.y)
         z_new = jnp.where(good, zz, lb.z)
-        lb = lb.replace(x=x_new, y=y_new, z=z_new)
-
-        state = self.rays_good(lb.x, lb.y, lb.state,
-                               limits=(limPhysX, limPhysY, limOptX,
-                                       limOptY))
+        if isParam:
+            # switch to parametric coordinates for state/normal evaluation
+            # (the reference stores s, phi, r in lb.x/y/z at this stage)
+            sP, phiP, rP = self.xyz_to_param(x_new, y_new, z_new)
+            tX, tY, tZ = self.param_to_xyz(sP, phiP, rP)
+            lb = lb.replace(x=jnp.where(good, sP, lb.x),
+                            y=jnp.where(good, phiP, lb.y),
+                            z=jnp.where(good, rP, lb.z))
+            state = self.rays_good(tX, tY, lb.state,
+                                   limits=(limPhysX, limPhysY, limOptX,
+                                           limOptY))
+        else:
+            lb = lb.replace(x=x_new, y=y_new, z=z_new)
+            state = self.rays_good(lb.x, lb.y, lb.state,
+                                   limits=(limPhysX, limPhysY, limOptX,
+                                           limOptY))
         state = jnp.where(good & lost_mask, config.STATE_DEAD, state)
         state = jnp.where(good, state, lb.state)
         lb = lb.replace(state=state)
@@ -423,6 +528,14 @@ class _OEMethods:
 
         lb = self._interact(lb, goodN, key, roll, fromVacuum, t, material,
                             local_n)
+        if isParam:
+            # back to cartesian; keep the parametric impact coordinates
+            # (cf. reflect.py:1112-1117)
+            xC, yC, zC = self.param_to_xyz(lb.x, lb.y, lb.z)
+            lb = lb.replace(s=lb.x, phi=lb.y, r=lb.z,
+                            x=jnp.where(good, xC, lb.x),
+                            y=jnp.where(good, yC, lb.y),
+                            z=jnp.where(good, zC, lb.z))
 
         # back to virgin local
         vlb = lb

@@ -1,0 +1,508 @@
+"""Fresnel-Kirchhoff wave propagation between optical elements.
+
+TPU-native re-implementation of xrt/backends/raycing/waves.py
+(prepare_wave:505, diffract:606, the O(N_src x N_dst) integral
+_diffraction_integral_conv:834-851 / the 'integrate_kirchhoff' OpenCL kernel
+diffract.cl:80-152, flux normalization :642-673 and :739-749, direction
+extraction by the conjugate-phase trick :719-731, receiving-surface
+re-rotation :771-824) plus the prepare_wave samplers of screens
+(screens.py:304), apertures (apertures.py:467) and OEs (reflect.py:266).
+
+The double sum over (dst, src) pairs with five complex accumulators
+(Es, Ep and three direction integrals) is evaluated as a ``lax.scan`` over
+source chunks — O(Ndst x chunk) memory, fully fused elementwise work — and
+has a Pallas TPU kernel fast path (xrt_tpu.ops.kirchhoff) with
+compensated-f32 phase arithmetic.  Here, as in the reference, the phase is
+k*r per pair; in float32 this needs the kernel's double-float path, so the
+XLA path requires float64 (tests/CPU) and the TPU path uses the kernel.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import config
+from .beam import Beam, rotate_coherency_matrix
+from .physconsts import CHBAR, CH, PI
+from .transforms import (rotate_xyz, rotate_y, rotate_z,
+                         virgin_local_to_global)
+
+SRC_CHUNK = 256   # source samples per scan step in the XLA path
+
+
+@struct.dataclass
+class Wave(Beam):
+    """A Beam that also carries the receiving-sample geometry and the
+    accumulators of repeated diffraction passes (cf. the attributes attached
+    by the reference prepare_wave, waves.py:505-584)."""
+    xDiffr: Optional[jnp.ndarray] = None   # receiving pts, fromOE-local
+    yDiffr: Optional[jnp.ndarray] = None
+    zDiffr: Optional[jnp.ndarray] = None
+    rDiffr: Optional[jnp.ndarray] = None
+    EsAcc: Optional[jnp.ndarray] = None
+    EpAcc: Optional[jnp.ndarray] = None
+    aEacc: Optional[jnp.ndarray] = None
+    bEacc: Optional[jnp.ndarray] = None
+    cEacc: Optional[jnp.ndarray] = None
+    beamReflRays: Optional[jnp.ndarray] = None
+    beamReflSumJ: Optional[jnp.ndarray] = None
+    beamReflSumJnl: Optional[jnp.ndarray] = None
+    diffract_repeats: Optional[jnp.ndarray] = None
+    fromOE: Any = struct.field(pytree_node=False, default=None)
+    toOE: Any = struct.field(pytree_node=False, default=None)
+
+
+def _to_fromOE_local(fromOE, xglo, yglo, zglo):
+    """Global receiving points -> fromOE-local coordinates
+    (cf. waves.py:537-569)."""
+    x = xglo - fromOE.center[0]
+    y = yglo - fromOE.center[1]
+    z = zglo - fromOE.center[2]
+    if hasattr(fromOE, 'rotationSequence'):  # an OE
+        if hasattr(fromOE, 'braggAngle'):    # DCM: 2nd crystal frame
+            x, y, z = rotate_xyz(x, y, z,
+                                 rotationSequence=fromOE.rotationSequence,
+                                 yaw=-math.pi, skip_zero=False)
+            pitch = -(-fromOE.pitch - fromOE.braggAngle +
+                      fromOE.cryst2pitch + fromOE.cryst2finePitch)
+            roll = -(fromOE.roll + fromOE.positionRoll + fromOE.cryst2roll)
+            yaw = fromOE.yaw
+            x, y, z = rotate_xyz(x, y, z,
+                                 rotationSequence=fromOE.rotationSequence,
+                                 pitch=pitch, roll=roll, yaw=yaw,
+                                 skip_zero=False)
+            z = z + fromOE.cryst2perpTransl
+            y = y - fromOE.cryst2longTransl
+        else:
+            pitch, roll, yaw = fromOE._placement()[0:3]
+            x, y, z = rotate_xyz(x, y, z,
+                                 rotationSequence=fromOE.rotationSequence,
+                                 pitch=-pitch, roll=-roll, yaw=-yaw,
+                                 skip_zero=False)
+            if fromOE.extraPitch is not None:
+                x, y, z = rotate_xyz(
+                    x, y, z, rotationSequence=fromOE.extraRotationSequence,
+                    pitch=-fromOE.extraPitch, roll=-fromOE.extraRoll,
+                    yaw=-fromOE.extraYaw, skip_zero=False)
+    elif hasattr(fromOE, 'ex'):  # aperture/screen frame
+        ex, ey, ez = fromOE.ex, fromOE.ey, fromOE.ez
+        lx = x * ex[0] + y * ex[1] + z * ex[2]
+        ly = x * ey[0] + y * ey[1] + z * ey[2]
+        lz = x * ez[0] + y * ez[1] + z * ez[2]
+        x, y, z = lx, ly, lz
+    # sources: virgin local = centered global
+    return x, y, z
+
+
+def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
+    """Attach the receiving geometry to *wave* (cf. waves.py:505-584)."""
+    x, y, z = _to_fromOE_local(fromOE, jnp.asarray(xglo), jnp.asarray(yglo),
+                               jnp.asarray(zglo))
+    r = jnp.sqrt(x ** 2 + y ** 2 + z ** 2)
+    cdt = jnp.result_type(wave.Jsp)
+    zero_c = jnp.zeros_like(x, dtype=cdt)
+    zero = jnp.zeros_like(x)
+    return wave.replace(
+        xDiffr=x, yDiffr=y, zDiffr=z, rDiffr=r,
+        a=x / r, b=y / r, c=z / r, path=jnp.zeros_like(x),
+        Es=zero_c, Ep=zero_c,
+        EsAcc=zero_c, EpAcc=zero_c, aEacc=zero_c, bEacc=zero_c,
+        cEacc=zero_c,
+        Jss=zero, Jpp=zero, Jsp=zero_c,
+        beamReflRays=jnp.zeros((), x.dtype),
+        beamReflSumJ=jnp.zeros((), x.dtype),
+        beamReflSumJnl=jnp.zeros((), x.dtype),
+        diffract_repeats=jnp.zeros((), x.dtype),
+        fromOE=fromOE)
+
+
+# ---------------------------------------------------------------------------
+# receiving-surface samplers
+# ---------------------------------------------------------------------------
+
+def prepare_wave_on_screen(screen, prevOE, dim1, dim2, dy=0.0,
+                           condition=None) -> Wave:
+    """Pixel-grid wave samples on a flat or hemispheric screen
+    (cf. screens.py:304-367)."""
+    from .screens import HemisphericScreen
+    dt = config.dtype()
+    cdt = config.cdtype()
+    dim1 = np.asarray(dim1, float)
+    dim2 = np.asarray(dim2, float)
+    d1s, d2s = np.meshgrid(dim1, dim2)
+    d1s = d1s.flatten()
+    d2s = d2s.flatten()
+    dS = (dim1[1] - dim1[0]) * (dim2[1] - dim2[0]) \
+        if dim1.size > 1 and dim2.size > 1 else 1.0
+    if condition is not None:
+        d1s, d2s = condition(d1s, d2s)
+    nrays = len(d1s)
+    d1s = jnp.asarray(d1s, dt)
+    d2s = jnp.asarray(d2s, dt)
+
+    if isinstance(screen, HemisphericScreen):
+        phi, theta = d1s / screen.R, d2s / screen.R
+        xloc = screen.R * jnp.sin(phi) * jnp.cos(theta)
+        yloc = screen.R * jnp.cos(phi) * jnp.cos(theta)
+        zloc = screen.R * jnp.sin(theta)
+        xglo, yglo, zglo = screen.local_to_global(xloc, yloc, zloc)
+        x_l, y_l, z_l = xloc, yloc + dy, zloc
+        dS_arr = dS * jnp.abs(jnp.cos(theta)) * screen.R ** 2
+    else:
+        xglo, yglo, zglo = screen.local_to_global(d1s, 0.0 * d1s + dy, d2s)
+        x_l, y_l, z_l = d1s, jnp.zeros_like(d1s) + dy, d2s
+        dS_arr = jnp.full((nrays,), dS, dt)
+
+    wave = Wave(
+        x=x_l, y=y_l, z=z_l,
+        a=jnp.zeros((nrays,), dt), b=jnp.ones((nrays,), dt),
+        c=jnp.zeros((nrays,), dt),
+        E=jnp.full((nrays,), config.DEFAULT_ENERGY, dt),
+        state=jnp.ones((nrays,), jnp.int32),
+        path=jnp.zeros((nrays,), dt),
+        Jss=jnp.zeros((nrays,), dt), Jpp=jnp.zeros((nrays,), dt),
+        Jsp=jnp.zeros((nrays,), cdt),
+        dS=dS_arr, area=jnp.sum(dS_arr), toOE=screen)
+    return prepare_wave(prevOE, wave, xglo, yglo, zglo)
+
+
+def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
+    """Uniform random wave samples in an aperture opening
+    (cf. apertures.py:467-500)."""
+    dt = config.dtype()
+    cdt = config.cdtype()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    nrays = int(nrays)
+    from .apertures import RectangularAperture, RoundAperture
+    if isinstance(aperture, RoundAperture):
+        k1, k2 = jax.random.split(key)
+        r = jnp.sqrt(jax.random.uniform(k1, (nrays,), dt)) * aperture.r
+        phi = jax.random.uniform(k2, (nrays,), dt, 0.0, 2 * math.pi)
+        x = r * jnp.cos(phi)
+        z = r * jnp.sin(phi)
+        area = math.pi * float(aperture.r) ** 2
+    else:
+        k1, k2 = jax.random.split(key)
+        dX = aperture.right - aperture.left
+        dZ = aperture.top - aperture.bottom
+        x = jax.random.uniform(k1, (nrays,), dt) * dX + aperture.left
+        z = jax.random.uniform(k2, (nrays,), dt) * dZ + aperture.bottom
+        area = dX * dZ
+    y = jnp.zeros((nrays,), dt)
+    ex, ey, ez = aperture.ex, aperture.ey, aperture.ez
+    xglo = aperture.center[0] + x * ex[0] + y * ey[0] + z * ez[0]
+    yglo = aperture.center[1] + x * ex[1] + y * ey[1] + z * ez[1]
+    zglo = aperture.center[2] + x * ex[2] + y * ey[2] + z * ez[2]
+    area = jnp.asarray(area, dt)
+    wave = Wave(
+        x=x, y=y, z=z,
+        a=jnp.zeros((nrays,), dt), b=jnp.ones((nrays,), dt),
+        c=jnp.zeros((nrays,), dt),
+        E=jnp.full((nrays,), config.DEFAULT_ENERGY, dt),
+        state=jnp.ones((nrays,), jnp.int32),
+        path=jnp.zeros((nrays,), dt),
+        Jss=jnp.zeros((nrays,), dt), Jpp=jnp.zeros((nrays,), dt),
+        Jsp=jnp.zeros((nrays,), cdt),
+        dS=jnp.full((nrays,), 1.0, dt) * area / nrays,
+        area=area, toOE=aperture)
+    return prepare_wave(prevOE, wave, xglo, yglo, zglo)
+
+
+def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
+    """Wave samples on an OE surface: random (int nrays) or mesh
+    ((nx, ny) tuple) samples traced onto the surface with incoming
+    directions from the previous element's center (cf. reflect.py:266-405).
+    """
+    dt = config.dtype()
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if isinstance(nrays, (tuple, list)):
+        xx = np.linspace(float(oe.limPhysX[0]), float(oe.limPhysX[1]),
+                         int(nrays[0]))
+        yy = np.linspace(float(oe.limPhysY[0]), float(oe.limPhysY[1]),
+                         int(nrays[1]))
+        X, Y = np.meshgrid(xx, yy)
+        x = jnp.asarray(X.ravel(), dt)
+        y = jnp.asarray(Y.ravel(), dt)
+        nsamples = x.shape[0]
+    else:
+        nsamples = int(nrays)
+        k1, k2 = jax.random.split(key)
+        dX = oe.limPhysX[1] - oe.limPhysX[0]
+        dY = oe.limPhysY[1] - oe.limPhysY[0]
+        x = jax.random.uniform(k1, (nsamples,), dt) * dX + oe.limPhysX[0]
+        y = jax.random.uniform(k2, (nsamples,), dt) * dY + oe.limPhysY[0]
+    area0 = (oe.limPhysX[1] - oe.limPhysX[0]) * \
+        (oe.limPhysY[1] - oe.limPhysY[0])
+    if oe.isParametric:
+        s, phi, r0 = oe.xyz_to_param(x, y, jnp.zeros_like(x))
+        r = oe.local_r(s, phi)
+        z = oe.param_to_xyz(s, phi, r)[2]
+    else:
+        z = oe.local_z(x, y)
+    lb = Beam(x=x, y=y, z=z,
+              a=jnp.zeros((nsamples,), dt), b=jnp.ones((nsamples,), dt),
+              c=jnp.zeros((nsamples,), dt),
+              E=jnp.full((nsamples,), config.DEFAULT_ENERGY, dt),
+              state=jnp.ones((nsamples,), jnp.int32),
+              path=jnp.zeros((nsamples,), dt),
+              Jss=jnp.ones((nsamples,), dt),
+              Jpp=jnp.zeros((nsamples,), dt),
+              Jsp=jnp.zeros((nsamples,), config.cdtype()))
+    lb = lb.with_amplitudes()
+    glo_pts = oe.local_to_global(lb)
+    prevCenter = prevOE.center
+    a = glo_pts.x - prevCenter[0]
+    b = glo_pts.y - prevCenter[1]
+    c = glo_pts.z - prevCenter[2]
+    norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
+    lb_in = glo_pts.replace(
+        a=a / norm, b=b / norm, c=c / norm,
+        x=jnp.full((nsamples,), prevCenter[0], dt),
+        y=jnp.full((nsamples,), prevCenter[1], dt),
+        z=jnp.full((nsamples,), prevCenter[2], dt))
+    # surface-normal projection factor for the normal area
+    nvec = np.asarray(
+        jax.tree_util.tree_map(np.asarray, rotate_xyz(
+            jnp.zeros(1, dt), jnp.zeros(1, dt), jnp.ones(1, dt),
+            rotationSequence='-' + oe.rotationSequence,
+            pitch=oe._placement()[0], roll=oe._placement()[1],
+            yaw=oe._placement()[2], skip_zero=False)))
+    na = float(prevCenter[0]) * 0  # placeholder, computed below
+
+    waveGlobal, waveLocal = oe.reflect(lb_in, key)
+    good = (waveLocal.state == 1) | (waveLocal.state == 2)
+    area = area0 * jnp.mean(good.astype(dt))
+    ngood = jnp.maximum(jnp.sum(good), 1)
+    wave = Wave(**{f: getattr(waveLocal, f)
+                   for f in Beam.__dataclass_fields__})
+    wave = wave.replace(area=area,
+                        dS=jnp.ones((nsamples,), dt) * area / ngood,
+                        state=jnp.where(good, 1, 0).astype(jnp.int32),
+                        toOE=oe)
+    return prepare_wave(prevOE, wave, waveGlobal.x, waveGlobal.y,
+                        waveGlobal.z)
+
+
+# ---------------------------------------------------------------------------
+# the Kirchhoff integral
+# ---------------------------------------------------------------------------
+
+def kirchhoff_integral_xla(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                           weights):
+    """The five Kirchhoff accumulators by a chunked lax.scan over source
+    samples (cf. _diffraction_integral_conv, waves.py:834-851).
+
+    dst arrays shape (Nd,), src arrays shape (Ns,); *weights* masks dead
+    source samples (0/1).  Requires float64 for the k*r phase."""
+    cdt = jnp.result_type(Es)
+    Ns = xs.shape[0]
+    npad = (-Ns) % SRC_CHUNK
+    if npad:
+        pad = lambda v: jnp.concatenate([v, jnp.zeros((npad,), v.dtype)])
+        xs, ys, zs, k, nl, weights = map(pad, (xs, ys, zs, k, nl, weights))
+        Es = jnp.concatenate([Es, jnp.zeros((npad,), cdt)])
+        Ep = jnp.concatenate([Ep, jnp.zeros((npad,), cdt)])
+        n = [jnp.concatenate([jnp.broadcast_to(ni, (Ns,)),
+                              jnp.zeros((npad,), xs.dtype)]) for ni in n]
+    else:
+        n = [jnp.broadcast_to(ni, (Ns,)) for ni in n]
+    nchunks = xs.shape[0] // SRC_CHUNK
+
+    def reshape(v):
+        return v.reshape(nchunks, SRC_CHUNK)
+    xs_c, ys_c, zs_c, k_c, nl_c, w_c = map(reshape,
+                                           (xs, ys, zs, k, nl, weights))
+    Es_c = Es.reshape(nchunks, SRC_CHUNK)
+    Ep_c = Ep.reshape(nchunks, SRC_CHUNK)
+    n_c = [reshape(ni) for ni in n]
+
+    def body(carry, inp):
+        EsA, EpA, aA, bA, cA = carry
+        xsc, ysc, zsc, kc, nlc, wc, Esc, Epc, n0, n1, n2 = inp
+        a = xd[:, None] - xsc[None, :]
+        b = yd[:, None] - ysc[None, :]
+        c = zd[:, None] - zsc[None, :]
+        pathAfter = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
+        ns = (a * n0[None, :] + b * n1[None, :] + c * n2[None, :]) / \
+            pathAfter
+        kk = kc[None, :]
+        U = kk * 1j / (4 * PI) * (nlc[None, :] + ns) * \
+            jnp.exp(1j * kk * pathAfter) / pathAfter * wc[None, :]
+        EsA = EsA + jnp.sum(Esc[None, :] * U, axis=1)
+        EpA = EpA + jnp.sum(Epc[None, :] * U, axis=1)
+        abcU = kk ** 2 / (4 * PI) * (Esc + Epc)[None, :] * U / pathAfter
+        aA = aA + jnp.sum(abcU * a, axis=1)
+        bA = bA + jnp.sum(abcU * b, axis=1)
+        cA = cA + jnp.sum(abcU * c, axis=1)
+        return (EsA, EpA, aA, bA, cA), None
+
+    Nd = xd.shape[0]
+    init = tuple(jnp.zeros((Nd,), cdt) for _ in range(5))
+    (EsA, EpA, aA, bA, cA), _ = jax.lax.scan(
+        body, init, (xs_c, ys_c, zs_c, k_c, nl_c, w_c, Es_c, Ep_c,
+                     n_c[0], n_c[1], n_c[2]))
+    return EsA, EpA, aA, bA, cA
+
+
+def estimate_footprint_area(x, y, good):
+    """Convex-hull area of the beam footprint — host-side helper
+    (cf. waves.py:649-670).  Call outside jit and pass the result via
+    ``beam.replace(area=...)``."""
+    from scipy.spatial import ConvexHull
+    pts = np.vstack([np.asarray(x)[np.asarray(good)],
+                     np.asarray(y)[np.asarray(good)]]).T
+    hull = ConvexHull(pts)
+    outer = pts[hull.vertices, :]
+    x1, y1 = outer[:, 0], outer[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    return 0.5 * abs(np.sum(x1 * y2 - x2 * y1))
+
+
+def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
+    """Diffract the surface field *oeLocal* onto the receiving *wave*
+    samples (cf. reference diffract, waves.py:606-831).  Pure: returns the
+    updated wave (accumulates over repeated calls through the Acc fields).
+
+    *oeLocal.area* must be set (host-side
+    :func:`estimate_footprint_area` or analytically); a jnp bounding-box
+    estimate is used as fallback."""
+    oe = wave.fromOE
+    good = oeLocal.state == 1
+    w = good.astype(wave.xDiffr.dtype)
+
+    # area under the beam (bbox fallback; the reference uses a convex hull)
+    if oeLocal.area is not None:
+        area = oeLocal.area
+    else:
+        if hasattr(oe, 'rotationSequence'):
+            secondDim = oeLocal.y
+        else:
+            secondDim = oeLocal.z
+        big = 1e30
+        xg = jnp.where(good, oeLocal.x, -big)
+        area = (jnp.max(jnp.where(good, oeLocal.x, -big)) -
+                jnp.min(jnp.where(good, oeLocal.x, big))) * \
+               (jnp.max(jnp.where(good, secondDim, -big)) -
+                jnp.min(jnp.where(good, secondDim, big)))
+
+    # surface normal and its beam projection (waves.py:675-690)
+    if hasattr(oe, 'rotationSequence'):   # an OE
+        if hasattr(oe, 'braggAngle'):     # DCM -> 2nd crystal surface
+            local_n = oe.local_n2
+        else:
+            local_n = oe.local_n
+        if oe.isParametric and oeLocal.s is not None:
+            n = local_n(oeLocal.s, oeLocal.phi)[-3:]
+        else:
+            n = local_n(oeLocal.x, oeLocal.y)[-3:]
+    else:
+        n = [jnp.zeros_like(oeLocal.x), jnp.ones_like(oeLocal.x),
+             jnp.zeros_like(oeLocal.x)]
+    nl = oeLocal.a * n[0] + oeLocal.b * n[1] + oeLocal.c * n[2]
+
+    sumJ = jnp.sum((oeLocal.Jss + oeLocal.Jpp) * w)
+    sumJnl = jnp.abs(jnp.sum((oeLocal.Jss + oeLocal.Jpp) * nl * w))
+    k = oeLocal.E / CHBAR * 1e7  # 1/mm
+
+    use_kernel = False
+    if use_pallas == 'auto':
+        use_kernel = (jax.default_backend() == 'tpu' and
+                      wave.xDiffr.dtype == jnp.float32)
+    elif use_pallas:
+        use_kernel = True
+    if use_kernel:
+        from .ops.kirchhoff import kirchhoff_integral_pallas
+        Es, Ep, aE, bE, cE = kirchhoff_integral_pallas(
+            wave.xDiffr, wave.yDiffr, wave.zDiffr,
+            oeLocal.x, oeLocal.y, oeLocal.z, oeLocal.Es, oeLocal.Ep, k,
+            n, nl, w)
+    else:
+        Es, Ep, aE, bE, cE = kirchhoff_integral_xla(
+            wave.xDiffr, wave.yDiffr, wave.zDiffr,
+            oeLocal.x, oeLocal.y, oeLocal.z, oeLocal.Es, oeLocal.Ep, k,
+            n, nl, w)
+
+    EsAcc = wave.EsAcc + Es
+    EpAcc = wave.EpAcc + Ep
+    aEacc = wave.aEacc + aE
+    bEacc = wave.bEacc + bE
+    cEacc = wave.cEacc + cE
+    beamReflRays = wave.beamReflRays + jnp.sum(w)
+    beamReflSumJ = wave.beamReflSumJ + sumJ
+    beamReflSumJnl = wave.beamReflSumJnl + sumJnl
+    repeats = wave.diffract_repeats + 1.0
+
+    Jss = (EsAcc * jnp.conj(EsAcc)).real
+    Jpp = (EpAcc * jnp.conj(EpAcc)).real
+    Jsp = EsAcc * jnp.conj(EpAcc)
+
+    # directions from the conjugate-phase trick (waves.py:719-731)
+    if hasattr(oe, 'rotationSequence'):
+        useC = jnp.abs(cEacc[0]) > jnp.abs(bEacc[0])
+        toRealComp = jnp.where(useC, cEacc, bEacc)
+    else:
+        toRealComp = bEacc
+    toReal = jnp.exp(-1j * jnp.angle(toRealComp))
+    a = (aEacc * toReal).real
+    b = (bEacc * toReal).real
+    c = (cEacc * toReal).real
+    norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
+    norm = jnp.where(norm == 0, 1.0, norm)
+    a, b, c = a / norm, b / norm, c / norm
+
+    # flux normalization (waves.py:739-749)
+    de = beamReflRays * beamReflSumJnl * repeats
+    fnorm = jnp.where(de > 0, wave.dS * area * beamReflSumJ / de, 0.0)
+    Jss = Jss * fnorm
+    Jpp = Jpp * fnorm
+    Jsp = Jsp * fnorm
+    sq = jnp.sqrt(fnorm)
+    out = wave.replace(
+        E=jnp.full_like(wave.E, oeLocal.E[0]),
+        Es=EsAcc * sq, Ep=EpAcc * sq,
+        Jss=Jss, Jpp=Jpp, Jsp=Jsp, a=a, b=b, c=c,
+        EsAcc=EsAcc, EpAcc=EpAcc, aEacc=aEacc, bEacc=bEacc, cEacc=cEacc,
+        beamReflRays=beamReflRays, beamReflSumJ=beamReflSumJ,
+        beamReflSumJnl=beamReflSumJnl, diffract_repeats=repeats,
+        accepted=oeLocal.accepted, acceptedE=oeLocal.acceptedE,
+        seeded=oeLocal.seeded,
+        seededI=None if oeLocal.seededI is None else oeLocal.seededI)
+    return out
+
+
+def wave_to_global(wave: Wave) -> Beam:
+    """The diffracted beam with global positions of the receiving points
+    (cf. the `glo` construction, waves.py:755-770)."""
+    oe = wave.fromOE
+    glo = Beam(**{f: getattr(wave, f) for f in Beam.__dataclass_fields__})
+    glo = glo.replace(x=wave.xDiffr, y=wave.yDiffr, z=wave.zDiffr)
+    if hasattr(oe, 'rotationSequence'):  # an OE
+        return oe.local_to_global(glo,
+                                  is2ndXtal=hasattr(oe, 'braggAngle'))
+    if hasattr(oe, 'ex'):
+        ex, ey, ez = oe.ex, oe.ey, oe.ez
+        gx = oe.center[0] + glo.x * ex[0] + glo.y * ey[0] + glo.z * ez[0]
+        gy = oe.center[1] + glo.x * ex[1] + glo.y * ey[1] + glo.z * ez[1]
+        gz = oe.center[2] + glo.x * ex[2] + glo.y * ey[2] + glo.z * ez[2]
+        return glo.replace(x=gx, y=gy, z=gz)
+    return glo.replace(x=glo.x + oe.center[0], y=glo.y + oe.center[1],
+                       z=glo.z + oe.center[2])
+
+
+def qualify_sampling(wave: Wave, E, goodlen):
+    """Fresnel number and samples-per-zone diagnostics
+    (cf. waves.py:587-604)."""
+    a = wave.xDiffr / wave.rDiffr
+    c = wave.zDiffr / wave.rDiffr
+    NAx = (jnp.max(a) - jnp.min(a)) * 0.5
+    NAz = (jnp.max(c) - jnp.min(c)) * 0.5
+    invLambda = E / CH * 1e7
+    fn = (NAx ** 2 + NAz ** 2) * jnp.mean(wave.rDiffr) * invLambda
+    return fn, jnp.abs(goodlen / fn)
