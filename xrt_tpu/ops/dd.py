@@ -1,0 +1,150 @@
+"""Double-float ("double-double" style) arithmetic on float32 pairs.
+
+A value is represented as (hi, lo) with value = hi + lo and |lo| <= ulp(hi)/2,
+giving ~48 bits of mantissa from float32 hardware.  Used by the TPU Kirchhoff
+kernel to carry the k*r phase (~1e11 rad) to ~1e-4 rad accuracy on hardware
+without native float64 — the reference achieves this by forcing float64 on
+GPU (xrt myopencl.py precisionOpenCL; waves are documented to need double
+precision).
+
+Algorithms: Knuth two-sum, Dekker split/two-product (FMA-free, safe under
+XLA's FMA formation which only improves the error terms).  All functions are
+elementwise jnp code usable inside jit, shard_map and Pallas kernels.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_SPLIT = 4097.0  # 2^12 + 1 for float32 Dekker splitting
+
+
+def two_sum(a, b):
+    """Exact a + b = s + e (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """Exact a + b = s + e, requires |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def two_prod(a, b):
+    """Exact a * b = p + e (Dekker)."""
+    p = a * b
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def add(ahi, alo, bhi, blo):
+    """dd + dd."""
+    s, e = two_sum(ahi, bhi)
+    e = e + (alo + blo)
+    return quick_two_sum(s, e)
+
+
+def sub(ahi, alo, bhi, blo):
+    return add(ahi, alo, -bhi, -blo)
+
+
+def add_f(ahi, alo, b):
+    s, e = two_sum(ahi, b)
+    e = e + alo
+    return quick_two_sum(s, e)
+
+
+def mul(ahi, alo, bhi, blo):
+    """dd * dd."""
+    p, e = two_prod(ahi, bhi)
+    e = e + (ahi * blo + alo * bhi)
+    return quick_two_sum(p, e)
+
+
+def mul_f(ahi, alo, b):
+    """dd * float."""
+    p, e = two_prod(ahi, b)
+    e = e + alo * b
+    return quick_two_sum(p, e)
+
+
+def sqr(ahi, alo):
+    p, e = two_prod(ahi, ahi)
+    e = e + 2.0 * ahi * alo
+    return quick_two_sum(p, e)
+
+
+def div(ahi, alo, bhi, blo):
+    """dd / dd by one Newton refinement of the f32 quotient."""
+    q1 = ahi / bhi
+    # r = a - q1*b in dd
+    p_hi, p_lo = mul_f(bhi, blo, q1)
+    r_hi, r_lo = sub(ahi, alo, p_hi, p_lo)
+    q2 = (r_hi + r_lo) / bhi
+    return quick_two_sum(q1, q2)
+
+
+def sqrt(ahi, alo):
+    """dd sqrt by one Newton step: s = s0 + (a - s0^2)/(2 s0)."""
+    s0 = jnp.sqrt(ahi)
+    s0 = jnp.where(ahi <= 0, 0.0, s0)
+    s2_hi, s2_lo = two_prod(s0, s0)
+    r_hi, r_lo = sub(ahi, alo, s2_hi, s2_lo)
+    denom = jnp.where(s0 == 0, 1.0, 2.0 * s0)
+    corr = (r_hi + r_lo) / denom
+    return quick_two_sum(s0, corr)
+
+
+def from_f64(x64):
+    """Split a host float64 array into an f32 (hi, lo) pair."""
+    x64 = np.asarray(x64, np.float64)
+    hi = x64.astype(np.float32)
+    lo = (x64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+# 2*pi to double-float precision (and the residual beyond)
+_TWO_PI_64 = 2 * np.pi
+_TWO_PI_HI = np.float32(_TWO_PI_64)
+_TWO_PI_LO = np.float32(_TWO_PI_64 - np.float64(_TWO_PI_HI))
+_TWO_PI_LO2 = np.float32(_TWO_PI_64 - np.float64(_TWO_PI_HI) -
+                         np.float64(_TWO_PI_LO))
+
+
+def mod_two_pi(phi_hi, phi_lo):
+    """phi mod 2*pi for dd phi with |phi| up to ~2^45.
+
+    The integer quotient n can exceed the 24-bit exact-integer range of
+    float32, so it is split as n = n1*2^12 + n2 and each part is removed
+    with exact two-products against the three-part 2*pi constant."""
+    n = jnp.round(phi_hi / _TWO_PI_HI)
+    n1 = jnp.round(n / 4096.0)
+    n2 = n - n1 * 4096.0            # exact: both parts < 2^24
+    m1 = n1 * 4096.0                 # exact (n1 < 2^19)
+
+    h, l = phi_hi, phi_lo
+    for part in (m1, n2):
+        p_hi, p_lo = two_prod(part, _TWO_PI_HI)
+        h, l = add(h, l, -p_hi, -p_lo)
+        p_hi, p_lo = two_prod(part, _TWO_PI_LO)
+        h, l = add(h, l, -p_hi, -p_lo)
+        h, l = add_f(h, l, -part * _TWO_PI_LO2)
+    # final touch-up into [-pi, pi)
+    n3 = jnp.round(h / _TWO_PI_HI)
+    p_hi, p_lo = two_prod(n3, _TWO_PI_HI)
+    h, l = add(h, l, -p_hi, -p_lo)
+    h, l = add_f(h, l, -n3 * _TWO_PI_LO)
+    return h + l

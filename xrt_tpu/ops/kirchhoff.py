@@ -1,0 +1,251 @@
+"""The Kirchhoff double-sum kernel for float32 TPU execution.
+
+TPU-native equivalent of the reference 'integrate_kirchhoff' OpenCL kernel
+(xrt/backends/raycing/cl/diffract.cl:80-152, host dispatch waves.py:854-896)
+which the reference runs in float64 on GPUs.  TPUs have no hardware float64;
+here the phase k*r (~1e11 rad, needed to ~1e-3 rad) is computed in
+double-float (f32-pair) arithmetic — see xrt_tpu.ops.dd — while the
+amplitude factors stay in plain f32.  Positions enter as (hi, lo) f32 pairs
+produced from host float64 by dd.from_f64.
+
+Two implementations:
+* kirchhoff_integral_dd — XLA elementwise + lax.scan over source chunks
+  (compiles anywhere, including CPU for validation);
+* kirchhoff_integral_pallas — the same math as a Pallas TPU grid kernel
+  over destination tiles with VMEM accumulators.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..physconsts import PI, CHBAR
+from . import dd
+
+SRC_CHUNK = 512
+
+
+def _phase_dd(xd, yd, zd, xs, ys, zs, k):
+    """Reduced phase (k*r mod 2pi) and plain-f32 r for dd coordinate pairs.
+
+    xd..zs are ((hi, lo)) tuples; k is an (hi, lo) tuple broadcast over the
+    pair grid.  Shapes broadcast (dst[:, None] vs src[None, :])."""
+    dx_h, dx_l = dd.sub(xd[0], xd[1], xs[0], xs[1])
+    dy_h, dy_l = dd.sub(yd[0], yd[1], ys[0], ys[1])
+    dz_h, dz_l = dd.sub(zd[0], zd[1], zs[0], zs[1])
+    x2_h, x2_l = dd.sqr(dx_h, dx_l)
+    y2_h, y2_l = dd.sqr(dy_h, dy_l)
+    z2_h, z2_l = dd.sqr(dz_h, dz_l)
+    r2_h, r2_l = dd.add(x2_h, x2_l, y2_h, y2_l)
+    r2_h, r2_l = dd.add(r2_h, r2_l, z2_h, z2_l)
+    r_h, r_l = dd.sqrt(r2_h, r2_l)
+    ph_h, ph_l = dd.mul(k[0], k[1], r_h, r_l)
+    phase = dd.mod_two_pi(ph_h, ph_l)
+    return phase, r_h, dx_h, dy_h, dz_h
+
+
+def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                          weights):
+    """Five Kirchhoff accumulators with double-float phases.
+
+    All positional args xd..zs and k are (hi, lo) tuples of f32 arrays;
+    Es/Ep complex64; n a 3-list of f32 arrays over src; nl, weights f32 over
+    src.  Returns complex64 (Es, Ep, aE, bE, cE) over dst."""
+    f32 = xd[0].dtype
+    cdt = jnp.complex64 if f32 == jnp.float32 else jnp.complex128
+    Ns = xs[0].shape[0]
+    npad = (-Ns) % SRC_CHUNK
+
+    def pad(v):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    xs = (pad(xs[0]), pad(xs[1]))
+    ys = (pad(ys[0]), pad(ys[1]))
+    zs = (pad(zs[0]), pad(zs[1]))
+    k = (pad(k[0]), pad(k[1]))
+    nl = pad(nl)
+    weights = pad(weights)
+    Es = pad(Es)
+    Ep = pad(Ep)
+    n = [pad(jnp.broadcast_to(ni, (Ns,)).astype(f32)) for ni in n]
+    nchunks = xs[0].shape[0] // SRC_CHUNK
+
+    def rsh(v):
+        return v.reshape(nchunks, SRC_CHUNK)
+    inputs = (rsh(xs[0]), rsh(xs[1]), rsh(ys[0]), rsh(ys[1]), rsh(zs[0]),
+              rsh(zs[1]), rsh(k[0]), rsh(k[1]), rsh(nl), rsh(weights),
+              rsh(Es), rsh(Ep), rsh(n[0]), rsh(n[1]), rsh(n[2]))
+
+    xd_b = (xd[0][:, None], xd[1][:, None])
+    yd_b = (yd[0][:, None], yd[1][:, None])
+    zd_b = (zd[0][:, None], zd[1][:, None])
+
+    def body(carry, inp):
+        EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i = \
+            carry
+        (xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, nlc, wc, Esc, Epc,
+         n0, n1, n2) = inp
+        phase, r, a, b, c = _phase_dd(
+            xd_b, yd_b, zd_b,
+            (xsh[None, :], xsl[None, :]), (ysh[None, :], ysl[None, :]),
+            (zsh[None, :], zsl[None, :]), (kh[None, :], kl[None, :]))
+        ns = (a * n0[None, :] + b * n1[None, :] + c * n2[None, :]) / r
+        # U = i*k/(4pi) * (nl + ns) * e^{i phase} / r, masked by weights
+        pre = kh[None, :] / (4 * PI) * (nlc[None, :] + ns) / r * wc[None, :]
+        cph = jnp.cos(phase)
+        sph = jnp.sin(phase)
+        U_r = -pre * sph   # i * e^{i phase} = -sin + i cos
+        U_i = pre * cph
+        Es_r = Esc.real[None, :]
+        Es_i = Esc.imag[None, :]
+        Ep_r = Epc.real[None, :]
+        Ep_i = Epc.imag[None, :]
+        EsA_r = EsA_r + jnp.sum(Es_r * U_r - Es_i * U_i, axis=1)
+        EsA_i = EsA_i + jnp.sum(Es_r * U_i + Es_i * U_r, axis=1)
+        EpA_r = EpA_r + jnp.sum(Ep_r * U_r - Ep_i * U_i, axis=1)
+        EpA_i = EpA_i + jnp.sum(Ep_r * U_i + Ep_i * U_r, axis=1)
+        # abcU = k^2/(4pi) (Es+Ep) U / r
+        f = kh[None, :] ** 2 / (4 * PI) / r
+        sE_r = Es_r + Ep_r
+        sE_i = Es_i + Ep_i
+        g_r = f * (sE_r * U_r - sE_i * U_i)
+        g_i = f * (sE_r * U_i + sE_i * U_r)
+        aA_r = aA_r + jnp.sum(g_r * a, axis=1)
+        aA_i = aA_i + jnp.sum(g_i * a, axis=1)
+        bA_r = bA_r + jnp.sum(g_r * b, axis=1)
+        bA_i = bA_i + jnp.sum(g_i * b, axis=1)
+        cA_r = cA_r + jnp.sum(g_r * c, axis=1)
+        cA_i = cA_i + jnp.sum(g_i * c, axis=1)
+        return (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i,
+                cA_r, cA_i), None
+
+    Nd = xd[0].shape[0]
+    init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
+    # XLA:CPU's loop emitter breaks the exact two_sum/two_prod error
+    # extraction (verified empirically; TPU preserves it) — unroll there
+    unroll = jax.default_backend() == 'cpu'
+    out, _ = jax.lax.scan(body, init, inputs, unroll=nchunks if unroll
+                          else 1)
+    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    return (EsA_r + 1j * EsA_i, EpA_r + 1j * EpA_i,
+            aA_r + 1j * aA_i, bA_r + 1j * bA_i, cA_r + 1j * cA_i)
+
+
+def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                              weights, dst_tile=128, src_chunk=256):
+    """Pallas TPU kernel: grid over destination tiles, fori_loop over source
+    chunks, the dd-phase math of :func:`kirchhoff_integral_dd` on the VPU.
+
+    Accepts plain f32 arrays (lo parts zero) or (hi, lo) tuples."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def astuple(v):
+        if isinstance(v, tuple):
+            return v
+        return (v, jnp.zeros_like(v))
+    xd, yd, zd = astuple(xd), astuple(yd), astuple(zd)
+    xs, ys, zs = astuple(xs), astuple(ys), astuple(zs)
+    k = astuple(k)
+    f32 = xd[0].dtype
+
+    Nd = xd[0].shape[0]
+    Ns = xs[0].shape[0]
+    npad_d = (-Nd) % dst_tile
+    npad_s = (-Ns) % src_chunk
+
+    def padto(v, npad):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    xd = (padto(xd[0], npad_d), padto(xd[1], npad_d))
+    yd = (padto(yd[0], npad_d), padto(yd[1], npad_d))
+    zd = (padto(zd[0], npad_d), padto(zd[1], npad_d))
+    xs = (padto(xs[0], npad_s), padto(xs[1], npad_s))
+    ys = (padto(ys[0], npad_s), padto(ys[1], npad_s))
+    zs = (padto(zs[0], npad_s), padto(zs[1], npad_s))
+    k = (padto(k[0], npad_s), padto(k[1], npad_s))
+    nl = padto(nl, npad_s)
+    weights = padto(weights, npad_s)
+    n = [padto(jnp.broadcast_to(ni, (Ns,)).astype(f32), npad_s) for ni in n]
+    Es_r = padto(Es.real.astype(f32), npad_s)
+    Es_i = padto(Es.imag.astype(f32), npad_s)
+    Ep_r = padto(Ep.real.astype(f32), npad_s)
+    Ep_i = padto(Ep.imag.astype(f32), npad_s)
+
+    NdP = Nd + npad_d
+    NsP = Ns + npad_s
+    nsrc_chunks = NsP // src_chunk
+
+    def kernel(xdh, xdl, ydh, ydl, zdh, zdl,
+               xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, nl_ref, w_ref,
+               esr, esi, epr, epi, n0, n1, n2,
+               o0, o1, o2, o3, o4, o5, o6, o7, o8, o9):
+        xd_t = (xdh[:, None], xdl[:, None])
+        yd_t = (ydh[:, None], ydl[:, None])
+        zd_t = (zdh[:, None], zdl[:, None])
+
+        def body(j, acc):
+            sl = pl.ds(j * src_chunk, src_chunk)
+            xs_t = (xsh[sl][None, :], xsl[sl][None, :])
+            ys_t = (ysh[sl][None, :], ysl[sl][None, :])
+            zs_t = (zsh[sl][None, :], zsl[sl][None, :])
+            k_t = (kh[sl][None, :], kl[sl][None, :])
+            phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t, ys_t,
+                                          zs_t, k_t)
+            ns = (a * n0[sl][None, :] + b * n1[sl][None, :] +
+                  c * n2[sl][None, :]) / r
+            pre = k_t[0] / (4 * PI) * (nl_ref[sl][None, :] + ns) / r * \
+                w_ref[sl][None, :]
+            cph = jnp.cos(phase)
+            sph = jnp.sin(phase)
+            U_r = -pre * sph
+            U_i = pre * cph
+            esr_c = esr[sl][None, :]
+            esi_c = esi[sl][None, :]
+            epr_c = epr[sl][None, :]
+            epi_c = epi[sl][None, :]
+            f = k_t[0] ** 2 / (4 * PI) / r
+            sE_r = esr_c + epr_c
+            sE_i = esi_c + epi_c
+            g_r = f * (sE_r * U_r - sE_i * U_i)
+            g_i = f * (sE_r * U_i + sE_i * U_r)
+            return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
+                    acc[1] + jnp.sum(esr_c * U_i + esi_c * U_r, axis=1),
+                    acc[2] + jnp.sum(epr_c * U_r - epi_c * U_i, axis=1),
+                    acc[3] + jnp.sum(epr_c * U_i + epi_c * U_r, axis=1),
+                    acc[4] + jnp.sum(g_r * a, axis=1),
+                    acc[5] + jnp.sum(g_i * a, axis=1),
+                    acc[6] + jnp.sum(g_r * b, axis=1),
+                    acc[7] + jnp.sum(g_i * b, axis=1),
+                    acc[8] + jnp.sum(g_r * c, axis=1),
+                    acc[9] + jnp.sum(g_i * c, axis=1))
+
+        init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
+        acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
+        for ref, val in zip((o0, o1, o2, o3, o4, o5, o6, o7, o8, o9), acc):
+            ref[:] = val
+
+    grid = (NdP // dst_tile,)
+    dst_spec = pl.BlockSpec((dst_tile,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    src_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[dst_spec] * 6 + [src_spec] * 17,
+        out_specs=tuple([dst_spec] * 10),
+        out_shape=tuple(jax.ShapeDtypeStruct((NdP,), f32)
+                        for _ in range(10)),
+    )(xd[0], xd[1], yd[0], yd[1], zd[0], zd[1],
+      xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1], nl, weights,
+      Es_r, Es_i, Ep_r, Ep_i, n[0], n[1], n[2])
+    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    sl = slice(0, Nd)
+    return (EsA_r[sl] + 1j * EsA_i[sl], EpA_r[sl] + 1j * EpA_i[sl],
+            aA_r[sl] + 1j * aA_i[sl], bA_r[sl] + 1j * bA_i[sl],
+            cA_r[sl] + 1j * cA_i[sl])

@@ -411,18 +411,24 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
     sumJnl = jnp.abs(jnp.sum((oeLocal.Jss + oeLocal.Jpp) * nl * w))
     k = oeLocal.E / CHBAR * 1e7  # 1/mm
 
-    use_kernel = False
-    if use_pallas == 'auto':
-        use_kernel = (jax.default_backend() == 'tpu' and
-                      wave.xDiffr.dtype == jnp.float32)
-    elif use_pallas:
-        use_kernel = True
-    if use_kernel:
-        from .ops.kirchhoff import kirchhoff_integral_pallas
-        Es, Ep, aE, bE, cE = kirchhoff_integral_pallas(
-            wave.xDiffr, wave.yDiffr, wave.zDiffr,
-            oeLocal.x, oeLocal.y, oeLocal.z, oeLocal.Es, oeLocal.Ep, k,
-            n, nl, w)
+    if wave.xDiffr.dtype == jnp.float32:
+        # float32 path: double-float phase arithmetic (ops/kirchhoff.py);
+        # the naive f32 k*r phase would be meaningless (~1e11 rad)
+        from .ops import dd as _dd
+        from .ops.kirchhoff import kirchhoff_integral_dd
+        zero = jnp.zeros_like(wave.xDiffr)
+        # k as a double-float from E (1e7/CHBAR as a two-part constant)
+        _KC = 1e7 / CHBAR
+        _KC_HI = np.float32(_KC)
+        _KC_LO = np.float32(_KC - np.float64(_KC_HI))
+        kh, kl = _dd.two_prod(oeLocal.E, jnp.asarray(_KC_HI))
+        kl = kl + oeLocal.E * _KC_LO
+        Es, Ep, aE, bE, cE = kirchhoff_integral_dd(
+            (wave.xDiffr, zero), (wave.yDiffr, zero), (wave.zDiffr, zero),
+            (oeLocal.x, jnp.zeros_like(oeLocal.x)),
+            (oeLocal.y, jnp.zeros_like(oeLocal.y)),
+            (oeLocal.z, jnp.zeros_like(oeLocal.z)),
+            oeLocal.Es, oeLocal.Ep, (kh, kl), n, nl, w)
     else:
         Es, Ep, aE, bE, cE = kirchhoff_integral_xla(
             wave.xDiffr, wave.yDiffr, wave.zDiffr,
