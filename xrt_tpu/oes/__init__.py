@@ -10,12 +10,16 @@ from .parametric import (EllipticalMirrorParam, EllipticalMirror,
                          EllipsoidCapillaryMirror,
                          ParaboloidCapillaryMirror,
                          HyperboloidCapillaryMirror)
+from .gratings import (Grating, NormalFZP, GeneralFZPin0YZ, BlazedGrating,
+                       LaminarGrating, VLSLaminarGrating)
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM,
                       rmer_from_coddington, rsag_from_coddington)
 
-__all__ = ['OE', 'find_intersection', 'DCM', 'DCMwithSagittalFocusing',
+__all__ = ['OE', 'find_intersection', 'Grating', 'NormalFZP',
+           'GeneralFZPin0YZ', 'BlazedGrating', 'LaminarGrating',
+           'VLSLaminarGrating', 'DCM', 'DCMwithSagittalFocusing',
            'EllipticalMirrorParam', 'EllipticalMirror',
            'ParabolicalMirrorParam', 'ParabolicMirror',
            'HyperbolicMirrorParam', 'HyperbolicMirror',

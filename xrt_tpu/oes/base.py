@@ -496,6 +496,9 @@ class _OEMethods:
             t = jnp.zeros_like(lb.x)
             xx, yy, zz = lb.x, lb.y, lb.z
             lost_mask = jnp.zeros_like(good)
+        elif hasattr(self, 'analytic_intersect'):
+            t, xx, yy, zz, lost_mask = self.analytic_intersect(
+                tMin, tMax, lb.x, lb.y, lb.z, lb.a, lb.b, lb.c)
         else:
             t, xx, yy, zz, lost_mask = find_intersection_dz(
                 dz_fn, tMin, tMax,
