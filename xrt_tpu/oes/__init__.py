@@ -12,12 +12,17 @@ from .parametric import (EllipticalMirrorParam, EllipticalMirror,
                          HyperboloidCapillaryMirror)
 from .gratings import (Grating, NormalFZP, GeneralFZPin0YZ, BlazedGrating,
                        LaminarGrating, VLSLaminarGrating)
+from .refractive import (Plate, ParaboloidFlatLens,
+                         ParabolicCylinderFlatLens, DoubleParaboloidLens,
+                         DoubleParabolicCylinderLens)
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM,
                       rmer_from_coddington, rsag_from_coddington)
 
-__all__ = ['OE', 'find_intersection', 'Grating', 'NormalFZP',
+__all__ = ['OE', 'find_intersection', 'Plate', 'ParaboloidFlatLens',
+           'ParabolicCylinderFlatLens', 'DoubleParaboloidLens',
+           'DoubleParabolicCylinderLens', 'Grating', 'NormalFZP',
            'GeneralFZPin0YZ', 'BlazedGrating', 'LaminarGrating',
            'VLSLaminarGrating', 'DCM', 'DCMwithSagittalFocusing',
            'EllipticalMirrorParam', 'EllipticalMirror',
