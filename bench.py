@@ -1,24 +1,31 @@
-"""Benchmark: ray-tracing throughput of the flagship beamline trace.
+"""Benchmark: the three reference workload classes on one TPU chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-The workload mirrors the reference xrt speed-test geometry class
-(tests/speed/1_SourceZCrystalThetaAlpha_speed.py): Monte-Carlo source ->
-curved mirror with material reflectivity -> screen -> 2D detector
-histogram.  vs_baseline compares rays/s against the reference xrt tracing
-the identical beamline on this host's CPU (single worker numpy,
-tools/bench_reference.py -> 460913 rays/s measured 2026-08-17; the
-reference's published multi-process scaling is ~2.7x on 4 cores,
-BASELINE.md table 1).
+Workloads mirror the reference xrt speed tests (BASELINE.md):
+1. ray tracing  (tests/speed/1_*: MC source -> curved mirror + material ->
+   screen + 2D histogram) — measured as rays/s;
+2. undulator source (tests/speed/2_*: shine of 1e5 rays around a harmonic,
+   800-node far-field integral) — measured as shine time / rays/s;
+3. Kirchhoff diffraction (tests/speed/3_*: O(Nsrc x Ndst) integrals) —
+   measured as pair-interactions/s with double-float phases.
+
+vs_baseline (headline) compares traced rays/s against the reference xrt on
+this host's CPU (460913 rays/s single-core numpy, tools/bench_reference.py).
+Extra keys give the per-workload comparisons vs the reference's published
+GPU numbers (BASELINE.md): undulator 1e5-ray shine 20.6-25.7 s on a W9100;
+Kirchhoff ~1.8e10 pairs/s on one A100 (3.2e11 pairs / 17.5 s).
 """
 import json
 import math
 import time
 
-REFERENCE_RAYS_PER_S = 460913.0   # reference xrt, 1-core numpy, this host
+REFERENCE_RAYS_PER_S = 460913.0    # reference xrt, 1-core numpy, this host
+REFERENCE_UND_SHINE_S = 21.0       # reference, W9100 GPU (BASELINE.md #2)
+REFERENCE_KIRCHHOFF_PAIRS_S = 1.8e10   # reference, 1x A100 (BASELINE.md #3)
 
 
-def main():
+def bench_trace():
     import jax
     import jax.numpy as jnp
     from xrt_tpu.histogram import hist2d
@@ -28,7 +35,6 @@ def main():
     import xrt_tpu.materials as xm
 
     NRAYS = 1000000
-    E0 = 9000.0
     pitch = 4e-3
     p, q = 10000.0, 2000.0
     mat = xm.Material.create('Si', rho=2.33, kind='mirror')
@@ -52,7 +58,6 @@ def main():
         return hist2d(img.x, img.z, w, 128, 128, (-1.0, 1.0), (-1.0, 1.0))
 
     key = jax.random.PRNGKey(0)
-    # warmup/compile
     step(key).block_until_ready()
     nrep = 10
     t0 = time.time()
@@ -61,13 +66,87 @@ def main():
         h = step(sub)
     h.block_until_ready()
     dt = time.time() - t0
-    rays_per_s = NRAYS * nrep / dt
+    return NRAYS * nrep / dt
+
+
+def bench_undulator():
+    """Equivalent of the reference shine benchmark: 1e5 rays sampled around
+    one harmonic with an ~800-node far-field integral per candidate."""
+    import jax
+    from xrt_tpu.sources import Undulator
+
+    und = Undulator.create(
+        nrays=100000, eE=6.0, eI=0.1, eEpsilonX=1.0, eEpsilonZ=0.01,
+        betaX=9., betaZ=2., period=33.0, n=50, K=1.5,
+        eMin=9200, eMax=9400, xPrimeMax=0.02, zPrimeMax=0.02,
+        gNodes=402, gIntervals=2, oversample=2)
+
+    @jax.jit
+    def shine(key):
+        b = und.shine(key)
+        return b.x, b.E, b.Jss, b.accepted
+
+    key = jax.random.PRNGKey(1)
+    jax.block_until_ready(shine(key))
+    nrep = 3
+    t0 = time.time()
+    for i in range(nrep):
+        key, sub = jax.random.split(key)
+        out = shine(sub)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / nrep
+
+
+def bench_kirchhoff():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.ops import dd
+    from xrt_tpu.ops.kirchhoff import kirchhoff_integral_dd
+
+    Ns, Nd = 100000, 20000
+    rng = np.random.RandomState(0)
+    t = lambda a: tuple(map(jnp.asarray, dd.from_f64(a)))
+
+    def wrapped(xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
+        zero = jnp.zeros_like(esr)
+        out = kirchhoff_integral_dd(
+            xd, yd, zd, xs, ys, zs, esr + 1j * esi, zero + 0j, k,
+            [zero, n1, zero], nl, w)
+        return tuple(x for o in out for x in (o.real, o.imag))
+
+    fn = jax.jit(wrapped)
+    args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),
+            t(rng.uniform(-1, 1, Nd)),
+            t(rng.uniform(-50, 50, Ns)), t(rng.uniform(-1, 1, Ns)),
+            t(rng.uniform(-.5, .5, Ns)),
+            jnp.ones(Ns, jnp.float32), jnp.zeros(Ns, jnp.float32),
+            t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
+            jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
+    jax.block_until_ready(fn(*args))
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return Ns * Nd / dt
+
+
+def main():
+    rays_per_s = bench_trace()
+    und_shine_s = bench_undulator()
+    kirchhoff_pairs_s = bench_kirchhoff()
     print(json.dumps({
         'metric': 'traced rays/s/chip (MC source + toroid Si mirror + '
                   'screen + 2D hist)',
         'value': round(rays_per_s, 1),
         'unit': 'rays/s',
         'vs_baseline': round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
+        'undulator_shine_1e5rays_s': round(und_shine_s, 3),
+        'undulator_vs_W9100_GPU': round(REFERENCE_UND_SHINE_S / und_shine_s,
+                                        3),
+        'kirchhoff_pairs_per_s': round(kirchhoff_pairs_s, 1),
+        'kirchhoff_vs_A100_GPU': round(
+            kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S, 3),
     }))
 
 

@@ -1,0 +1,116 @@
+"""Coherence analysis of accumulated field stacks.
+
+TPU-native re-implementation of xrt/backends/raycing/coherence.py:
+calc_1D_coherent_fraction:38, degree of transverse coherence (4D :197 and
+PCA :207), eigenmode decomposition (full :223 and PCA :245).  All in jnp —
+the eigen decompositions run on device via jnp.linalg.eigh (the PCA variant
+reduces the problem to (repeats x repeats), cheap on any backend).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def calc_1D_coherent_fraction(U, axisName, axis, p=0):
+    """1D degree of coherence and coherent fraction from a field stack *U*
+    shaped (repeats, nx, ny) (cf. coherence.py:38-95).  Returns
+    (J, I, DoC, varI, varDoC, limDoC, cohFraction)."""
+    U = jnp.asarray(U)
+    repeats, binsx, binsz = U.shape
+    if axisName == 'x':
+        Uc = U[:, :, binsz // 2]
+    elif axisName in ('y', 'z'):
+        Uc = U[:, binsx // 2, :]
+    else:
+        raise ValueError('unknown axis')
+    J = jnp.dot(Uc.T.conj(), Uc) / repeats
+    if p > 0:
+        J = J / p ** 2
+    II = jnp.abs(jnp.diag(J))
+    J = J / (jnp.sqrt(II) * jnp.sqrt(II)[:, None])
+    Jd = jnp.abs(jnp.diag(jnp.fliplr(J)))
+
+    axis = jnp.asarray(axis)
+    varI = jnp.sum(II * axis ** 2) / jnp.sum(II)
+    axisEx = 2 * axis
+
+    # local minima of DoC (host-side selection like the reference's
+    # argrelextrema, coherence.py:84-89)
+    Jd_np = np.asarray(Jd)
+    ax_np = np.asarray(axisEx)
+    interior = np.r_[False, (Jd_np[1:-1] < Jd_np[:-2]) &
+                     (Jd_np[1:-1] < Jd_np[2:]), False]
+    lm = np.where(interior & (ax_np > 0) & (Jd_np < 0.5))[0]
+    if len(lm) > 0:
+        cond = np.abs(ax_np) <= ax_np[lm[0]]
+        limJd = float(ax_np[lm[0]])
+    else:
+        cond = np.ones_like(ax_np, dtype=bool)
+        limJd = None
+    condj = jnp.asarray(cond)
+    varJd = jnp.sum(jnp.where(condj, Jd * axisEx ** 2, 0.0)) / \
+        jnp.sum(jnp.where(condj, Jd, 0.0))
+    cohFr = (4 * varI / varJd + 1) ** (-0.5)
+    return J, II, Jd, varI, varJd, limJd, cohFr
+
+
+def calc_degree_of_transverse_coherence_4D(J):
+    """DoTC = Tr(J^2)/Tr(J)^2 (coherence.py:197-204)."""
+    J = jnp.asarray(J)
+    return (jnp.trace(J @ J) / jnp.trace(J) ** 2).real
+
+
+def calc_degree_of_transverse_coherence_PCA(U):
+    """DoTC from the field stack via the (repeats x repeats) Gram matrix
+    (coherence.py:207-220)."""
+    U = jnp.asarray(U)
+    repeats = U.shape[0]
+    D = U.reshape(repeats, -1).T
+    DTD = D.T.conj() @ D
+    return (jnp.trace(DTD @ DTD) / jnp.trace(DTD) ** 2).real
+
+
+def calc_eigen_modes_4D(J, eigenN=4):
+    """Eigen decomposition of the full mutual intensity
+    (coherence.py:223-243).  Returns the *eigenN* largest (w, v)."""
+    J = jnp.asarray(J)
+    J = J / jnp.trace(J)
+    w, v = jnp.linalg.eigh(J)
+    if eigenN:
+        return w[-eigenN:], v[:, -eigenN:]
+    return w, v
+
+
+def calc_eigen_modes_PCA(U, eigenN=4, maxRepeats=None, normalize=False):
+    """PCA eigen modes of a field stack (repeats, nx, ny)
+    (cf. coherence.py:245-303).  Returns (eigenvalues[-eigenN:], modes as
+    columns (nx*ny, eigenN))."""
+    U = jnp.asarray(U)
+    if maxRepeats is not None:
+        U = U[:maxRepeats]
+    repeats = U.shape[0]
+    if eigenN is None:
+        eigenN = repeats
+    eigenN = min(eigenN, repeats)
+    k = U.shape[1] * U.shape[2]
+    # fortran-order flattening like the reference (coherence.py:287)
+    D = jnp.transpose(U, (0, 2, 1)).reshape(repeats, k).T
+    DTD = D.T.conj() @ D
+    DTD = DTD / jnp.trace(DTD).real
+    wPCA, vPCA = jnp.linalg.eigh(DTD)
+    modes = []
+    for i in range(eigenN):
+        # the reference's projection D @ outer(v, v^H), column 0, equals
+        # (D @ v) * conj(v[0]) (coherence.py:296-298)
+        vv = (D @ vPCA[:, -1 - i]) * jnp.conj(vPCA[0, -1 - i])
+        if normalize:
+            vv = vv / jnp.sqrt(jnp.vdot(vv, vv).real)
+        modes.append(vv)
+    out = jnp.stack(modes[::-1], axis=1)
+    return wPCA[-eigenN:], out
+
+
+calc_eigen_modes = calc_eigen_modes_PCA

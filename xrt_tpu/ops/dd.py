@@ -125,18 +125,22 @@ _TWO_PI_LO2 = np.float32(_TWO_PI_64 - np.float64(_TWO_PI_HI) -
 
 
 def mod_two_pi(phi_hi, phi_lo):
-    """phi mod 2*pi for dd phi with |phi| up to ~2^45.
+    """phi mod 2*pi for dd phi with |phi| up to ~2^45 (k*r ~ 1e13 rad).
 
     The integer quotient n can exceed the 24-bit exact-integer range of
-    float32, so it is split as n = n1*2^12 + n2 and each part is removed
-    with exact two-products against the three-part 2*pi constant."""
+    float32, so it is split as n = n1*2^24 + n2*2^12 + n3 (each part
+    exactly representable) and each part is removed with exact two-products
+    against the three-part 2*pi constant."""
     n = jnp.round(phi_hi / _TWO_PI_HI)
-    n1 = jnp.round(n / 4096.0)
-    n2 = n - n1 * 4096.0            # exact: both parts < 2^24
-    m1 = n1 * 4096.0                 # exact (n1 < 2^19)
+    n1 = jnp.round(n / 16777216.0)
+    rem = n - n1 * 16777216.0        # exact: |rem| <= 2^23
+    n2 = jnp.round(rem / 4096.0)
+    n3 = rem - n2 * 4096.0           # exact
+    m1 = n1 * 16777216.0             # exact scale by 2^24
+    m2 = n2 * 4096.0
 
     h, l = phi_hi, phi_lo
-    for part in (m1, n2):
+    for part in (m1, m2, n3):
         p_hi, p_lo = two_prod(part, _TWO_PI_HI)
         h, l = add(h, l, -p_hi, -p_lo)
         p_hi, p_lo = two_prod(part, _TWO_PI_LO)
