@@ -9,7 +9,8 @@ from .crystal import (Crystal, CrystalFcc, CrystalDiamond, CrystalSi,
                       CrystalFromCell)
 from .multilayer import Multilayer, GradedMultilayer, Coated
 from . import data
+from . import catalogs
 
 __all__ = ['Element', 'Material', 'EmptyMaterial', 'Crystal', 'CrystalFcc',
            'CrystalDiamond', 'CrystalSi', 'CrystalFromCell', 'Multilayer',
-           'GradedMultilayer', 'Coated', 'data']
+           'GradedMultilayer', 'Coated', 'data', 'catalogs']
