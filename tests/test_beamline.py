@@ -1,0 +1,100 @@
+"""BeamLine container tests: auto-alignment, default flow, serialization."""
+import math
+
+import numpy as np
+import jax
+
+from xrt_tpu.beamline import BeamLine
+from xrt_tpu.sources import GeometricSource
+from xrt_tpu.screens import Screen
+from xrt_tpu.apertures import RectangularAperture
+from xrt_tpu.oes import FlatMirror, DCM
+import xrt_tpu.materials as xm
+
+E0 = 9000.0
+
+
+def build_bl():
+    bl = BeamLine(alignE=E0)
+    src = GeometricSource.create(
+        nrays=3000, dx=0.05, dz=0.02, dxprime=1e-5, dzprime=1e-5,
+        distE='lines', energies=(E0,), polarization='horizontal')
+    bl.add('source', src)
+    mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+    bl.place('mirror', FlatMirror, distance=10000.0, pitch=4e-3,
+             material=mat, limPhysX=(-20, 20), limPhysY=(-300, 300))
+    # axis now tilts up by 8 mrad; screen placed on the new axis
+    bl.place('screen', Screen, distance=2000.0)
+    return bl
+
+
+def test_auto_alignment_axis():
+    bl = build_bl()
+    scr = bl['screen']
+    c = np.asarray(scr.center)
+    np.testing.assert_allclose(c[1], 10000.0 + 2000.0 * math.cos(8e-3),
+                               rtol=1e-9)
+    np.testing.assert_allclose(c[2], 2000.0 * math.sin(8e-3), rtol=1e-9)
+
+
+def test_propagate_flow():
+    bl = build_bl()
+    beams = bl.propagate_flow(jax.random.PRNGKey(0))
+    assert set(beams) >= {'source', 'mirror', 'mirror_local', 'screen'}
+    img = beams['screen']
+    good = np.asarray(img.state) == 1
+    assert good.mean() > 0.95
+    # the screen is centered on the deflected axis -> image near 0
+    assert abs(np.asarray(img.z)[good].mean()) < 0.1
+    # flow works under jit as well
+    fn = jax.jit(lambda key: bl.propagate_flow(key)['screen'].x)
+    x = fn(jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_dcm_auto_bragg_placement():
+    bl = BeamLine(alignE=E0)
+    src = GeometricSource.create(
+        nrays=2000, dx=0.05, dz=0.02, dxprime=1e-6, dzprime=1e-6,
+        distE='flat', energies=(E0 - 2, E0 + 2),
+        polarization='horizontal')
+    bl.add('source', src)
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1))
+    dcm = DCM.create(center=(0, 5000.0, 0), material=cr, alignE=E0,
+                     fixedOffset=20.0, limPhysX=(-50, 50),
+                     limPhysY=(-500, 500))
+    bl.add('dcm', dcm)
+    bl._axis_point = np.array([0, 5000.0, 20.0])
+    bl.place('screen', Screen, distance=1000.0)
+    beams = bl.propagate_flow(jax.random.PRNGKey(2))
+    good = np.asarray(beams['dcm'].state) == 1
+    assert good.mean() > 0.5
+
+
+def test_alarms():
+    bl = BeamLine(alignE=E0)
+    src = GeometricSource.create(
+        nrays=2000, dx=0.5, dz=0.5, dxprime=0.0, dzprime=0.0,
+        distxprime=None, distzprime=None,
+        distE='lines', energies=(E0,), polarization='horizontal')
+    bl.add('source', src)
+    slit = RectangularAperture.create(center=(0, 1000.0, 0),
+                                      opening=(-0.05, 0.05, -0.05, 0.05))
+    bl.add('slit', slit)
+    beams = bl.propagate_flow(jax.random.PRNGKey(3))
+    alarms = bl.check_alarms(beams, threshold=0.5)
+    assert len(alarms) == 1 and 'slit' in alarms[0]
+
+
+def test_json_roundtrip(tmp_path):
+    bl = build_bl()
+    fn = tmp_path / 'layout.json'
+    bl.export_to_json(str(fn))
+    mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+    bl2 = BeamLine.load_from_json(str(fn), materials={'mirror': mat})
+    np.testing.assert_allclose(np.asarray(bl2['mirror'].center),
+                               np.asarray(bl['mirror'].center))
+    np.testing.assert_allclose(float(bl2['mirror'].pitch),
+                               float(bl['mirror'].pitch))
+    beams = bl2.propagate_flow(jax.random.PRNGKey(4))
+    assert (np.asarray(beams['screen'].state) == 1).mean() > 0.9

@@ -1,0 +1,293 @@
+"""BeamLine: a host-side container and orchestrator of beamline elements.
+
+Equivalent in capability to the reference xrt BeamLine
+(xrt/backends/raycing/beamline.py:229): element registry, azimuth frame,
+auto-alignment of centers along the nominal optical axis and of crystal
+pitches at the alignment energy (beamline.py:368-508), an ordered default
+flow with recording/replay (propagate_flow:510, sort_flow:559), and
+JSON (de)serialization (load_from_json:1570, export_to_json:1602).
+
+The elements themselves are jax pytrees (functional, frozen); BeamLine is a
+mutable host object that *builds* them, so all auto-alignment happens at
+build time in float64 numpy, outside jit — the traced compute stays pure.
+"""
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+
+
+class BeamLine:
+    """Container of sources, optical elements, apertures and screens.
+
+    *azimuth* rotates the beamline's horizontal axis; *alignE* is the energy
+    used for 'auto' Bragg angles."""
+
+    def __init__(self, azimuth=0.0, height=0.0, alignE=9000.0, name=''):
+        self.name = name
+        self.azimuth = azimuth
+        self.height = height
+        self.alignE = alignE
+        self.sources: List[Any] = []
+        self.oes: List[Any] = []
+        self.slits: List[Any] = []
+        self.screens: List[Any] = []
+        self.flow: List[tuple] = []      # (name, element, method, kwargs)
+        self.alarms: List[str] = []
+        self._elements: Dict[str, Any] = {}
+        # nominal optical axis state for auto-alignment
+        self._axis_point = np.zeros(3)
+        self._axis_dir = np.array([0.0, 1.0, 0.0])
+
+    @property
+    def sinAzimuth(self):
+        return math.sin(self.azimuth)
+
+    @property
+    def cosAzimuth(self):
+        return math.cos(self.azimuth)
+
+    # ------------------------------------------------------------------
+    def add(self, name: str, element: Any, kind: str = 'auto',
+            method: Optional[str] = None, **methodKwargs):
+        """Register *element* under *name* and append it to the default
+        flow.  *kind* in {'source', 'oe', 'slit', 'screen', 'auto'}."""
+        cls = type(element).__name__
+        if kind == 'auto':
+            if hasattr(element, 'shine'):
+                kind = 'source'
+            elif hasattr(element, 'propagate') and not hasattr(element,
+                                                              'reflect'):
+                kind = 'slit'
+            elif hasattr(element, 'expose'):
+                kind = 'screen'
+            else:
+                kind = 'oe'
+        {'source': self.sources, 'oe': self.oes, 'slit': self.slits,
+         'screen': self.screens}[kind].append(element)
+        self._elements[name] = element
+        if method is None:
+            method = {'source': 'shine', 'oe': 'reflect',
+                      'slit': 'propagate', 'screen': 'expose'}[kind]
+            if hasattr(element, 'double_refract'):
+                method = 'double_refract'
+            elif hasattr(element, 'double_reflect'):
+                method = 'double_reflect'
+        self.flow.append((name, kind, method, methodKwargs))
+        return element
+
+    def __getitem__(self, name):
+        return self._elements[name]
+
+    def update(self, name, element):
+        """Replace a registered element (elements are immutable pytrees; a
+        modified copy goes back through here)."""
+        old = self._elements[name]
+        self._elements[name] = element
+        for lst in (self.sources, self.oes, self.slits, self.screens):
+            for i, e in enumerate(lst):
+                if e is old:
+                    lst[i] = element
+        self.flow = [(n, k, m, kw) if n != name else (name, k, m, kw)
+                     for (n, k, m, kw) in self.flow]
+
+    # ------------------------------------------------------------------
+    # auto-alignment along the nominal axis (cf. beamline.py:368-508)
+    def place(self, name, element_cls, distance=None, center=None,
+              pitch=None, bragg_material=None, deflection='up', **kwargs):
+        """Build and register an element auto-aligned on the current
+        optical axis.
+
+        *distance*: place the center at this distance along the axis from
+        the previous element (alternative to explicit *center*).
+        *pitch*: number, or 'auto' with *bragg_material* — then the Bragg
+        angle (with refraction correction) at ``alignE`` is used.
+        *deflection*: 'up'/'down'/'left'/'right' — how a reflecting element
+        bends the axis."""
+        if center is None:
+            center = self._axis_point + self._axis_dir * float(distance)
+        center = np.asarray(center, float)
+        if pitch == 'auto':
+            m = bragg_material or kwargs.get('material')
+            pitch = float(m.get_Bragg_angle(self.alignE) -
+                          m.get_dtheta(self.alignE))
+        if pitch is not None:
+            kwargs['pitch'] = pitch
+        element = element_cls.create(center=tuple(center), **kwargs)
+        name_ = name
+        self.add(name_, element)
+        # update the axis
+        self._axis_point = center
+        if pitch and hasattr(element, 'reflect'):
+            sign = {'up': 1.0, 'down': -1.0}.get(deflection, 1.0)
+            dbl = 2.0 * float(pitch) * sign
+            if hasattr(element, 'double_reflect') and \
+                    not hasattr(element, 't'):
+                dbl = 0.0  # DCM: fixed exit, axis direction unchanged
+            d = self._axis_dir
+            cosd, sind = math.cos(dbl), math.sin(dbl)
+            if deflection in ('up', 'down'):
+                self._axis_dir = np.array([
+                    d[0], d[1] * cosd - d[2] * sind,
+                    d[1] * sind + d[2] * cosd])
+            else:
+                sgn = 1.0 if deflection == 'left' else -1.0
+                a = dbl * sgn
+                self._axis_dir = np.array([
+                    d[0] * math.cos(a) - d[1] * math.sin(a),
+                    d[0] * math.sin(a) + d[1] * math.cos(a), d[2]])
+        return element
+
+    @property
+    def axis_point(self):
+        return self._axis_point.copy()
+
+    @property
+    def axis_dir(self):
+        return self._axis_dir.copy()
+
+    # ------------------------------------------------------------------
+    def propagate_flow(self, key=None, startFrom=0):
+        """Run the recorded default flow and return {beamName: Beam}
+        (cf. beamline.py:510-557).  Use inside jit via
+        ``run_process=lambda bl, key: bl.propagate_flow(key)``."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        beams = {}
+        beam = None
+        for i, (name, kind, method, kwargs) in enumerate(self.flow):
+            if i < startFrom and beam is not None:
+                continue
+            el = self._elements[name]
+            key, sub = jax.random.split(key)
+            fn = getattr(el, method)
+            if kind == 'source':
+                beam = fn(sub, **kwargs)
+                beams[name] = beam
+            elif method in ('double_reflect', 'double_refract'):
+                beam, lo1, lo2 = fn(beam, key=sub, **kwargs)
+                beams[name] = beam
+                beams[name + '_local1'] = lo1
+                beams[name + '_local2'] = lo2
+            elif method == 'reflect':
+                beam, lo = fn(beam, key=sub, **kwargs)
+                beams[name] = beam
+                beams[name + '_local'] = lo
+            elif method == 'propagate':
+                lo = fn(beam, **kwargs)
+                beams[name] = lo
+                beam = _local_to_global_aperture(el, lo)
+            elif method == 'expose':
+                beams[name] = fn(beam, **kwargs)
+            else:
+                beam = fn(beam, **kwargs)
+                beams[name] = beam
+        return beams
+
+    def check_alarms(self, beams, threshold=0.5):
+        """Flag elements that absorb more than *threshold* of the incoming
+        rays (cf. reference alarmLevel, raycing/__init__.py:307-328).
+        Host-side: call on concrete (fetched) beams."""
+        self.alarms = []
+        prev_alive = None
+        for name, kind, method, _ in self.flow:
+            if name not in beams:
+                continue
+            state = np.asarray(beams[name].state)
+            alive = (state > 0).sum()
+            if prev_alive and alive < prev_alive * (1 - threshold):
+                self.alarms.append(
+                    f'{name}: absorbed '
+                    f'{(prev_alive - alive) / prev_alive:.1%} of rays')
+            prev_alive = alive
+        return self.alarms
+
+    # ------------------------------------------------------------------
+    # serialization (cf. beamline.py:1549-1640)
+    def export_to_json(self, fileName=None):
+        layout = {'name': self.name, 'azimuth': self.azimuth,
+                  'height': self.height, 'alignE': self.alignE,
+                  'elements': []}
+        for name, kind, method, kwargs in self.flow:
+            el = self._elements[name]
+            entry = {'name': name, 'kind': kind, 'method': method,
+                     'class': type(el).__name__,
+                     'module': type(el).__module__,
+                     'params': _element_params(el)}
+            layout['elements'].append(entry)
+        text = json.dumps(layout, indent=1)
+        if fileName:
+            with open(fileName, 'w') as f:
+                f.write(text)
+        return text
+
+    @classmethod
+    def load_from_json(cls, fileName_or_text, materials=None):
+        """Rebuild a beamline from its JSON layout.  *materials* maps
+        element names to material objects (materials are not serialized
+        numerically — reference them by catalog)."""
+        import importlib
+        if isinstance(fileName_or_text, str) and \
+                fileName_or_text.lstrip().startswith('{'):
+            layout = json.loads(fileName_or_text)
+        else:
+            with open(fileName_or_text) as f:
+                layout = json.load(f)
+        bl = cls(azimuth=layout.get('azimuth', 0.0),
+                 height=layout.get('height', 0.0),
+                 alignE=layout.get('alignE', 9000.0),
+                 name=layout.get('name', ''))
+        for entry in layout['elements']:
+            mod = importlib.import_module(entry['module'])
+            ecls = getattr(mod, entry['class'])
+            params = dict(entry['params'])
+            if materials and entry['name'] in materials:
+                params['material'] = materials[entry['name']]
+            el = ecls.create(**params) if hasattr(ecls, 'create') \
+                else ecls(**params)
+            bl.add(entry['name'], el, kind=entry['kind'],
+                   method=entry['method'])
+        return bl
+
+
+def _local_to_global_aperture(aperture, lo):
+    """Aperture-local beam back to global coordinates."""
+    import jax.numpy as jnp
+    ex, ey, ez = aperture.ex, aperture.ey, aperture.ez
+    gx = aperture.center[0] + lo.x * ex[0] + lo.y * ey[0] + lo.z * ez[0]
+    gy = aperture.center[1] + lo.x * ex[1] + lo.y * ey[1] + lo.z * ez[1]
+    gz = aperture.center[2] + lo.x * ex[2] + lo.y * ey[2] + lo.z * ez[2]
+    ga = lo.a * ex[0] + lo.b * ey[0] + lo.c * ez[0]
+    gb = lo.a * ex[1] + lo.b * ey[1] + lo.c * ez[1]
+    gc = lo.a * ex[2] + lo.b * ey[2] + lo.c * ez[2]
+    return lo.replace(x=gx, y=gy, z=gz, a=ga, b=gb, c=gc)
+
+
+def _element_params(el):
+    """Numeric (JSON-serializable) parameters of a pytree element."""
+    out = {}
+    for fname, fdef in type(el).__dataclass_fields__.items():
+        val = getattr(el, fname)
+        if val is None:
+            continue
+        if fname in ('material', 'material2', 'figure_error'):
+            continue
+        if hasattr(val, 'tolist'):
+            v = val.tolist()
+            out[_create_name(type(el), fname)] = v
+        elif isinstance(val, (int, float, str, bool, tuple, list)):
+            out[_create_name(type(el), fname)] = \
+                list(val) if isinstance(val, tuple) else val
+    return out
+
+
+_RENAMES = {'bragg_': 'bragg', 'braggAngle': 'bragg', 'E0': 'E',
+            'theta_c': 'theta', 'b_': 'b', 'ex': 'x', 'ez': 'z'}
+
+
+def _create_name(cls, fname):
+    return _RENAMES.get(fname, fname)

@@ -137,9 +137,12 @@ def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
 
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                              weights, dst_tile=128, src_chunk=256):
-    """Pallas TPU kernel: grid over destination tiles, fori_loop over source
-    chunks, the dd-phase math of :func:`kirchhoff_integral_dd` on the VPU.
+                              weights, dst_tile=128, src_chunk=256,
+                              sublanes=8):
+    """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
+    points per program), fori_loop over source chunks, the dd-phase math of
+    :func:`kirchhoff_integral_dd` on the VPU with (dst_tile x src_chunk)
+    2D vector work per step.
 
     Accepts plain f32 arrays (lo parts zero) or (hi, lo) tuples."""
     from jax.experimental import pallas as pl
@@ -156,82 +159,91 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
     Nd = xd[0].shape[0]
     Ns = xs[0].shape[0]
-    npad_d = (-Nd) % dst_tile
+    block_d = dst_tile * sublanes
+    npad_d = (-Nd) % block_d
     npad_s = (-Ns) % src_chunk
 
     def padto(v, npad):
         return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
             else v
-    xd = (padto(xd[0], npad_d), padto(xd[1], npad_d))
-    yd = (padto(yd[0], npad_d), padto(yd[1], npad_d))
-    zd = (padto(zd[0], npad_d), padto(zd[1], npad_d))
-    xs = (padto(xs[0], npad_s), padto(xs[1], npad_s))
-    ys = (padto(ys[0], npad_s), padto(ys[1], npad_s))
-    zs = (padto(zs[0], npad_s), padto(zs[1], npad_s))
-    k = (padto(k[0], npad_s), padto(k[1], npad_s))
-    nl = padto(nl, npad_s)
-    weights = padto(weights, npad_s)
-    n = [padto(jnp.broadcast_to(ni, (Ns,)).astype(f32), npad_s) for ni in n]
-    Es_r = padto(Es.real.astype(f32), npad_s)
-    Es_i = padto(Es.imag.astype(f32), npad_s)
-    Ep_r = padto(Ep.real.astype(f32), npad_s)
-    Ep_i = padto(Ep.imag.astype(f32), npad_s)
 
     NdP = Nd + npad_d
     NsP = Ns + npad_s
+    nrows = NdP // dst_tile          # multiple of sublanes
     nsrc_chunks = NsP // src_chunk
+
+    def prep_d(v):
+        return padto(v, npad_d).reshape(nrows, dst_tile)
+
+    def prep_s(v):
+        return padto(v, npad_s).reshape(nsrc_chunks, src_chunk)
+
+    srcs = [prep_s(v) for v in (
+        xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1],
+        nl, weights,
+        Es.real.astype(f32), Es.imag.astype(f32),
+        Ep.real.astype(f32), Ep.imag.astype(f32),
+        jnp.broadcast_to(n[0], (Ns,)).astype(f32),
+        jnp.broadcast_to(n[1], (Ns,)).astype(f32),
+        jnp.broadcast_to(n[2], (Ns,)).astype(f32))]
+    dsts = [prep_d(v) for v in (xd[0], xd[1], yd[0], yd[1], zd[0], zd[1])]
 
     def kernel(xdh, xdl, ydh, ydl, zdh, zdl,
                xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, nl_ref, w_ref,
                esr, esi, epr, epi, n0, n1, n2,
                o0, o1, o2, o3, o4, o5, o6, o7, o8, o9):
-        xd_t = (xdh[:, None], xdl[:, None])
-        yd_t = (ydh[:, None], ydl[:, None])
-        zd_t = (zdh[:, None], zdl[:, None])
+        outs = (o0, o1, o2, o3, o4, o5, o6, o7, o8, o9)
+        for srow in range(sublanes):
+            def col(ref):
+                return ref[srow, :].reshape(-1, 1)
+            xd_t = (col(xdh), col(xdl))
+            yd_t = (col(ydh), col(ydl))
+            zd_t = (col(zdh), col(zdl))
 
-        def body(j, acc):
-            sl = pl.ds(j * src_chunk, src_chunk)
-            xs_t = (xsh[sl][None, :], xsl[sl][None, :])
-            ys_t = (ysh[sl][None, :], ysl[sl][None, :])
-            zs_t = (zsh[sl][None, :], zsl[sl][None, :])
-            k_t = (kh[sl][None, :], kl[sl][None, :])
-            phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t, ys_t,
-                                          zs_t, k_t)
-            ns = (a * n0[sl][None, :] + b * n1[sl][None, :] +
-                  c * n2[sl][None, :]) / r
-            pre = k_t[0] / (4 * PI) * (nl_ref[sl][None, :] + ns) / r * \
-                w_ref[sl][None, :]
-            cph = jnp.cos(phase)
-            sph = jnp.sin(phase)
-            U_r = -pre * sph
-            U_i = pre * cph
-            esr_c = esr[sl][None, :]
-            esi_c = esi[sl][None, :]
-            epr_c = epr[sl][None, :]
-            epi_c = epi[sl][None, :]
-            f = k_t[0] ** 2 / (4 * PI) / r
-            sE_r = esr_c + epr_c
-            sE_i = esi_c + epi_c
-            g_r = f * (sE_r * U_r - sE_i * U_i)
-            g_i = f * (sE_r * U_i + sE_i * U_r)
-            return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
-                    acc[1] + jnp.sum(esr_c * U_i + esi_c * U_r, axis=1),
-                    acc[2] + jnp.sum(epr_c * U_r - epi_c * U_i, axis=1),
-                    acc[3] + jnp.sum(epr_c * U_i + epi_c * U_r, axis=1),
-                    acc[4] + jnp.sum(g_r * a, axis=1),
-                    acc[5] + jnp.sum(g_i * a, axis=1),
-                    acc[6] + jnp.sum(g_r * b, axis=1),
-                    acc[7] + jnp.sum(g_i * b, axis=1),
-                    acc[8] + jnp.sum(g_r * c, axis=1),
-                    acc[9] + jnp.sum(g_i * c, axis=1))
+            def body(j, acc):
+                def row(ref):
+                    return ref[j, :].reshape(1, -1)
+                xs_t = (row(xsh), row(xsl))
+                ys_t = (row(ysh), row(ysl))
+                zs_t = (row(zsh), row(zsl))
+                k_t = (row(kh), row(kl))
+                phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t, ys_t,
+                                              zs_t, k_t)
+                rinv = 1.0 / r
+                ns = (a * row(n0) + b * row(n1) + c * row(n2)) * rinv
+                pre = k_t[0] * (1.0 / (4 * PI)) * (row(nl_ref) + ns) * \
+                    rinv * row(w_ref)
+                cph = jnp.cos(phase)
+                sph = jnp.sin(phase)
+                U_r = -pre * sph
+                U_i = pre * cph
+                esr_c = row(esr)
+                esi_c = row(esi)
+                epr_c = row(epr)
+                epi_c = row(epi)
+                f = k_t[0] ** 2 * (1.0 / (4 * PI)) * rinv
+                sE_r = esr_c + epr_c
+                sE_i = esi_c + epi_c
+                g_r = f * (sE_r * U_r - sE_i * U_i)
+                g_i = f * (sE_r * U_i + sE_i * U_r)
+                return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
+                        acc[1] + jnp.sum(esr_c * U_i + esi_c * U_r, axis=1),
+                        acc[2] + jnp.sum(epr_c * U_r - epi_c * U_i, axis=1),
+                        acc[3] + jnp.sum(epr_c * U_i + epi_c * U_r, axis=1),
+                        acc[4] + jnp.sum(g_r * a, axis=1),
+                        acc[5] + jnp.sum(g_i * a, axis=1),
+                        acc[6] + jnp.sum(g_r * b, axis=1),
+                        acc[7] + jnp.sum(g_i * b, axis=1),
+                        acc[8] + jnp.sum(g_r * c, axis=1),
+                        acc[9] + jnp.sum(g_i * c, axis=1))
 
-        init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
-        acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
-        for ref, val in zip((o0, o1, o2, o3, o4, o5, o6, o7, o8, o9), acc):
-            ref[:] = val
+            init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
+            acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
+            for ref, val in zip(outs, acc):
+                ref[srow, :] = val
 
-    grid = (NdP // dst_tile,)
-    dst_spec = pl.BlockSpec((dst_tile,), lambda i: (i,),
+    grid = (nrows // sublanes,)
+    dst_spec = pl.BlockSpec((sublanes, dst_tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     src_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -239,13 +251,14 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         grid=grid,
         in_specs=[dst_spec] * 6 + [src_spec] * 17,
         out_specs=tuple([dst_spec] * 10),
-        out_shape=tuple(jax.ShapeDtypeStruct((NdP,), f32)
+        out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
                         for _ in range(10)),
-    )(xd[0], xd[1], yd[0], yd[1], zd[0], zd[1],
-      xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1], nl, weights,
-      Es_r, Es_i, Ep_r, Ep_i, n[0], n[1], n[2])
-    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    )(*dsts, *srcs)
     sl = slice(0, Nd)
-    return (EsA_r[sl] + 1j * EsA_i[sl], EpA_r[sl] + 1j * EpA_i[sl],
-            aA_r[sl] + 1j * aA_i[sl], bA_r[sl] + 1j * bA_i[sl],
-            cA_r[sl] + 1j * cA_i[sl])
+
+    def fl(v):
+        return v.reshape(-1)[sl]
+    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    return (fl(EsA_r) + 1j * fl(EsA_i), fl(EpA_r) + 1j * fl(EpA_i),
+            fl(aA_r) + 1j * fl(aA_i), fl(bA_r) + 1j * fl(bA_i),
+            fl(cA_r) + 1j * fl(cA_i))
