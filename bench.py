@@ -102,7 +102,7 @@ def bench_kirchhoff():
     import jax
     import jax.numpy as jnp
     from xrt_tpu.ops import dd
-    from xrt_tpu.ops.kirchhoff import kirchhoff_integral_dd
+    from xrt_tpu.ops.kirchhoff import kirchhoff_integral_pallas
 
     Ns, Nd = 100000, 20000
     rng = np.random.RandomState(0)
@@ -110,7 +110,7 @@ def bench_kirchhoff():
 
     def wrapped(xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
         zero = jnp.zeros_like(esr)
-        out = kirchhoff_integral_dd(
+        out = kirchhoff_integral_pallas(
             xd, yd, zd, xs, ys, zs, esr + 1j * esi, zero + 0j, k,
             [zero, n1, zero], nl, w)
         return tuple(x for o in out for x in (o.real, o.imag))

@@ -505,6 +505,46 @@ class Undulator(_SynchrotronBase):
             beam = virgin_local_to_global(beam, self.center)
         return beam
 
+    def shine_wave(self, key, wave, fixedEnergy):
+        """One coherent macro-electron (filament) field computed directly at
+        the wave sample points (cf. the wave branch of the reference shine,
+        sybase.py:1594-1707): the amplitudes get the 1/r and sqrt(area)
+        factors so that sum(|Es|^2 + |Ep|^2) estimates the flux.
+
+        Returns the wave with Es/Ep/J replaced.  Pure and jittable."""
+        import jax
+        dt = wave.xDiffr.dtype
+        n = wave.xDiffr.shape[0]
+        keys = jax.random.split(key, 5)
+        rX = self.dx * jax.random.normal(keys[0], (), dt)
+        rZ = self.dz * jax.random.normal(keys[1], (), dt)
+        dtheta = self.dxprime * jax.random.normal(keys[2], (), dt)
+        dpsi = self.dzprime * jax.random.normal(keys[3], (), dt)
+        dgamma = None
+        if self.eEspread > 0:
+            dgamma = self.gamma * self.eEspread * \
+                jax.random.normal(keys[4], (), dt)
+        x = wave.xDiffr - rX
+        y = wave.yDiffr
+        z = wave.zDiffr - rZ
+        rDiffr = jnp.sqrt(x ** 2 + y ** 2 + z ** 2)
+        rTheta = x / rDiffr + dtheta
+        rPsi = z / rDiffr + dpsi
+        rE = jnp.full((n,), fixedEnergy, dt)
+        Intensity, mJs, mJp = self.build_I_map(keys[4], rE, rTheta, rPsi,
+                                               dgamma=dgamma)
+        norm = jnp.sqrt(wave.area) / rDiffr
+        Es = mJs * norm
+        Ep = mJp * norm
+        return wave.replace(
+            E=rE, Es=Es, Ep=Ep,
+            a=x / rDiffr, b=y / rDiffr, c=z / rDiffr,
+            Jss=(Es * jnp.conj(Es)).real, Jpp=(Ep * jnp.conj(Ep)).real,
+            Jsp=Es * jnp.conj(Ep),
+            accepted=jnp.sum(Intensity) * (self.eMax - self.eMin),
+            seeded=jnp.asarray(float(n), dt),
+            seededI=jnp.sum(Intensity) * (self.eMax - self.eMin))
+
     def _fix_position_sign(self):
         pass
 

@@ -415,7 +415,8 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
         # float32 path: double-float phase arithmetic (ops/kirchhoff.py);
         # the naive f32 k*r phase would be meaningless (~1e11 rad)
         from .ops import dd as _dd
-        from .ops.kirchhoff import kirchhoff_integral_dd
+        from .ops.kirchhoff import (kirchhoff_integral_dd,
+                                    kirchhoff_integral_pallas)
         zero = jnp.zeros_like(wave.xDiffr)
         # k as a double-float from E (1e7/CHBAR as a two-part constant)
         _KC = 1e7 / CHBAR
@@ -423,7 +424,11 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
         _KC_LO = np.float32(_KC - np.float64(_KC_HI))
         kh, kl = _dd.two_prod(oeLocal.E, jnp.asarray(_KC_HI))
         kl = kl + oeLocal.E * _KC_LO
-        Es, Ep, aE, bE, cE = kirchhoff_integral_dd(
+        use_kernel = use_pallas if use_pallas != 'auto' \
+            else jax.default_backend() == 'tpu'
+        kfn = kirchhoff_integral_pallas if use_kernel \
+            else kirchhoff_integral_dd
+        Es, Ep, aE, bE, cE = kfn(
             (wave.xDiffr, zero), (wave.yDiffr, zero), (wave.zDiffr, zero),
             (oeLocal.x, jnp.zeros_like(oeLocal.x)),
             (oeLocal.y, jnp.zeros_like(oeLocal.y)),
