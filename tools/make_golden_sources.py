@@ -107,3 +107,35 @@ dest2 = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
                      'ref_undulator.npz')
 np.savez_compressed(os.path.abspath(dest2), **out2)
 print('wrote', os.path.abspath(dest2))
+
+# ---- SourceFromField (periodic test field), via the _sp path (<=10 rays;
+# the _sp_sum path at >10 rays has a swapped filament conditional upstream)
+from xrt.backends.raycing.physconsts import K2B
+K_, L0_, Np_ = 4.4, 53.96, 41
+zg_ = np.linspace(-L0_*Np_*0.5, L0_*Np_*0.5, 1000*Np_)
+fieldData = np.vstack([zg_, K2B*K_/L0_*np.sin(2*np.pi*zg_/L0_)]).T
+sff = rs.SourceFromField(bl=bl, name='sff', nrays=100, eE=6.0, eI=0.1,
+                         eEpsilonX=0., eEpsilonZ=0.,
+                         customField=fieldData,
+                         eMin=5000, eMax=6500, xPrimeMax=0.05,
+                         zPrimeMax=0.05,
+                         gNodes=3000, gIntervals=2, targetOpenCL=None)
+out3 = {}
+Ef = np.linspace(5000, 6500, 8)
+thf = np.array([0., 1e-5, -2e-5, 0., 1e-5, -1e-5, 2e-5, 0.])
+psf = np.array([0., -1e-5, 1e-5, 2e-5, 0., 1e-5, -2e-5, 1e-5])
+# evaluate one at a time to stay on the _sp path with dim=1
+Isf = []; Essf = []; Epsf = []
+for i in range(8):
+    I, Es_, Ep_ = sff.build_I_map(np.array([Ef[i]]), np.array([thf[i]]),
+                                  np.array([psf[i]]))
+    Isf.append(I[0]); Essf.append(Es_[0]); Epsf.append(Ep_[0])
+out3['sff_E'] = Ef; out3['sff_theta'] = thf; out3['sff_psi'] = psf
+out3['sff_I'] = np.array(Isf)
+out3['sff_Es'] = np.array(Essf)
+out3['sff_Ep'] = np.array(Epsf)
+out3['sff_deviceLength'] = sff.deviceLength
+dest3 = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
+                     'ref_customfield.npz')
+np.savez_compressed(os.path.abspath(dest3), **out3)
+print('wrote', os.path.abspath(dest3))

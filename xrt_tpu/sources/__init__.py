@@ -5,7 +5,9 @@ TPU-native equivalents of xrt/backends/raycing/sources/.
 from .geometric import GeometricSource, make_energy, polarization_matrix
 from .synchrotron import BendingMagnet, Wiggler
 from .undulator import Undulator, clenshaw_curtis, tanaka_kitamura_Qa2
+from .customfield import SourceFromField
 
 __all__ = ['GeometricSource', 'make_energy', 'polarization_matrix',
-           'BendingMagnet', 'Wiggler', 'Undulator', 'clenshaw_curtis',
+           'BendingMagnet', 'Wiggler', 'Undulator', 'SourceFromField',
+           'clenshaw_curtis',
            'tanaka_kitamura_Qa2']
