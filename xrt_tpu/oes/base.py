@@ -349,6 +349,53 @@ class _OEMethods:
         norm = jnp.sqrt(a_out ** 2 + b_out ** 2 + c_out ** 2)
         return a_out / norm, b_out / norm, c_out / norm, locOrder
 
+    def multiple_reflect(self, beam: Beam, key=None, maxReflections=20):
+        """Reflect with up to *maxReflections* bounces on the same (closed
+        or strongly curved) surface — whispering-gallery and capillary
+        optics (cf. reference multiple_reflect, reflect.py:165-264).
+
+        Returns (beamGlobal, beamLocalLast): the global beam carries
+        ``nRefl`` per ray; rays that leave the surface keep the state/
+        position of their last bounce.  The loop length is static
+        (jit-friendly); converged rays pass through masked."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        good_in = beam.state > 0
+        lb = global_to_virgin_local(beam, self.center)
+        pitch, roll, yaw, dx, dy, dz = self._placement()
+        nRefl = jnp.zeros_like(beam.state)
+        good = good_in
+        lb_keep = lb
+        out_local = None
+        for iRefl in range(maxReflections):
+            keyi = jax.random.fold_in(key, iRefl)
+            prev = lb
+            vlb, loc = self._reflect_local(
+                lb, good, keyi, pitch, roll, yaw, dx, dy, dz,
+                isMulti=(iRefl > 0))
+            over = vlb.state == 3
+            # rays that flew over keep their pre-step coordinates
+            # (reflect.py:226-229)
+            vlb = vlb.replace(
+                x=jnp.where(good & over, prev.x, vlb.x),
+                y=jnp.where(good & over, prev.y, vlb.y),
+                z=jnp.where(good & over, prev.z, vlb.z))
+            newGood = good & ((vlb.state == 1) | (vlb.state == 2))
+            nRefl = nRefl + newGood.astype(nRefl.dtype)
+            lb = _merge_by_mask(lb, vlb, good)
+            if out_local is None:
+                out_local = loc
+            else:
+                out_local = _merge_by_mask(out_local, loc, newGood)
+            good = newGood
+        reflected = nRefl > 0
+        glo = virgin_local_to_global(lb, self.center)
+        merged = _merge_by_mask(beam, glo, good_in & reflected)
+        merged = merged.replace(
+            state=jnp.where(good_in & reflected, 1, beam.state),
+            nRefl=nRefl)
+        return merged, out_local
+
     def local_to_global(self, lb: Beam, is2ndXtal=False) -> Beam:
         """Transform a true-local beam into the global frame, rotating the
         polarization back by the local roll (cf. reference base.py:1166-1243
@@ -434,7 +481,7 @@ class _OEMethods:
                        dx=None, dy=None, dz=None, fromVacuum=True,
                        is2ndXtal=False, noIntersectionSearch=False,
                        local_z=None, local_n=None, material=None,
-                       limits=None):
+                       limits=None, isMulti=False):
         """The virgin-local-frame part of reflect (cf. reflect.py:551-1139).
         Returns (virgin-local beam, true-local beam)."""
         isParam = getattr(self, 'isParametric', False)
@@ -492,6 +539,21 @@ class _OEMethods:
 
         tMin, tMax = self._bracket(lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, good,
                                    limPhysX, limPhysY)
+        if isMulti:
+            # start the search past the tangent point: the root of the
+            # derivative of dz along the ray (cf. reference _bracketing with
+            # isMulti, base.py:1283-1295, derivOrder=1)
+            def ddz_fn(xx, yy, zz):
+                def g(t):
+                    return dz_fn(xx + lb.a * t, yy + lb.b * t,
+                                 zz + lb.c * t)
+                val, dval = jax.jvp(g, (jnp.zeros_like(xx),),
+                                    (jnp.ones_like(xx),))
+                return dval
+            t_tan, _, _, _, _ = find_intersection_dz(
+                ddz_fn, jnp.zeros_like(tMin), tMax,
+                lb.x, lb.y, lb.z, lb.a, lb.b, lb.c, active=good)
+            tMin = t_tan + 1e-6
         if noIntersectionSearch:
             t = jnp.zeros_like(lb.x)
             xx, yy, zz = lb.x, lb.y, lb.z

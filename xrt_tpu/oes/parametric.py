@@ -234,114 +234,116 @@ HyperbolicMirror = HyperbolicMirrorParam
 # ---------------------------------------------------------------------------
 
 class _RevolutionMethods:
-    """Cylindrical parameterization around the beam axis: s = y, (phi, r)
-    polar in normal planes (cf. SurfaceOfRevolution, parametric.py:717)."""
+    """Cylindrical parameterization around the beam axis: s = y (along the
+    beamline), (phi, r) polar in normal planes
+    (cf. SurfaceOfRevolution, parametric.py:717-731)."""
     isParametric = True
-    invertNormal = 1
 
     def xyz_to_param(self, x, y, z):
-        return y, jnp.arctan2(x, -z), jnp.sqrt(x ** 2 + z ** 2)
+        return y, jnp.arctan2(x, z), jnp.sqrt(x ** 2 + z ** 2)
 
     def param_to_xyz(self, s, phi, r):
-        return r * jnp.sin(phi), s, -r * jnp.cos(phi)
+        return r * jnp.sin(phi), s, r * jnp.cos(phi)
 
 
 @struct.dataclass
 class EllipsoidCapillaryMirror(_RevolutionMethods, OE):
-    """Closed ellipsoidal capillary with axis along the beam
-    (parametric.py:791-887): *f* is the distance between the foci and the
-    ellipsoid is given by semiaxes (ellipseA, ellipseB)."""
+    """Ellipsoid-of-revolution capillary ("mirror lens"); the center is on
+    the major axis in the middle of the capillary
+    (cf. parametric.py:791-887).  *workingDistance* is from the end face to
+    the focus; set reasonable limPhysY."""
     ellipseA: jnp.ndarray = None
     ellipseB: jnp.ndarray = None
     workingDistance: jnp.ndarray = None
+    ctd: jnp.ndarray = None
 
     @classmethod
-    def create(cls, ellipseA=1000.0, ellipseB=1.0, workingDistance=10.0,
-               **kwargs):
+    def create(cls, ellipseA=10000.0, ellipseB=2.5, workingDistance=17.0,
+               limPhysY=(-50.0, 50.0), **kwargs):
         dt = config.dtype()
+        c = math.sqrt(ellipseA ** 2 - ellipseB ** 2)
+        ctd = c - workingDistance - 0.5 * abs(limPhysY[-1] - limPhysY[0])
         return super(EllipsoidCapillaryMirror, cls).create(
             ellipseA=jnp.asarray(ellipseA, dt),
             ellipseB=jnp.asarray(ellipseB, dt),
-            workingDistance=jnp.asarray(workingDistance, dt), **kwargs)
-
-    @property
-    def _sCenter(self):
-        """s of the OE center relative to the ellipse center: the entrance
-        focus is upstream at working distance from the edge."""
-        c = jnp.sqrt(self.ellipseA ** 2 - self.ellipseB ** 2)
-        return -c + self.workingDistance  # center maps near the focus
+            workingDistance=jnp.asarray(workingDistance, dt),
+            ctd=jnp.asarray(ctd, dt), limPhysY=limPhysY, **kwargs)
 
     def local_r(self, s, phi):
-        s_ = s + self._sCenter
-        rx = jnp.clip(1 - s_ ** 2 / self.ellipseA ** 2, 0.0, None)
-        return self.ellipseB * jnp.sqrt(rx)
+        return self.ellipseB * jnp.sqrt(jnp.abs(
+            1 - (self.ctd + s) ** 2 / self.ellipseA ** 2))
 
     def local_n(self, s, phi):
-        s_ = s + self._sCenter
-        A2s2 = jnp.maximum(self.ellipseA ** 2 - s_ ** 2, 1e-30)
-        nr = -self.ellipseB / self.ellipseA * s_ / jnp.sqrt(A2s2)
-        norm = jnp.sqrt(nr ** 2 + 1)
-        b = nr / norm
-        a = -jnp.sin(phi) / norm
-        c = jnp.cos(phi) / norm
-        return [a, b, c]
+        A2s2 = self.ellipseA ** 2 - (self.ctd + s) ** 2
+        A2s2 = jnp.where(A2s2 <= 0, 1e22, A2s2)
+        nr = -self.ellipseB / self.ellipseA * (self.ctd + s) / \
+            jnp.sqrt(A2s2)
+        norm = jnp.sqrt(nr ** 2 + 1.0)
+        return [-jnp.sin(phi) / norm, nr / norm, -jnp.cos(phi) / norm]
 
 
 @struct.dataclass
 class ParaboloidCapillaryMirror(_RevolutionMethods, OE):
-    """Closed paraboloid capillary along the beam axis
-    (parametric.py:733-788): r^2 = 4 f (s0 - s)."""
-    parabParam: jnp.ndarray = None     # focal parameter f
+    """Paraboloid-of-revolution capillary, oriented for focusing by default
+    (cf. parametric.py:733-788): *q* is the distance from the element
+    center to the focus, *r0* the radius at the center."""
+    q: jnp.ndarray = None
+    r0: jnp.ndarray = None
+    focus: jnp.ndarray = None
     s0: jnp.ndarray = None
 
     @classmethod
-    def create(cls, f=1.0, s0=0.0, **kwargs):
+    def create(cls, q=500.0, r0=2.5, **kwargs):
         dt = config.dtype()
+        focus = -0.5 * (q - math.sqrt(q ** 2 + r0 ** 2))
+        s0 = focus + q
         return super(ParaboloidCapillaryMirror, cls).create(
-            parabParam=jnp.asarray(f, dt), s0=jnp.asarray(s0, dt), **kwargs)
+            q=jnp.asarray(q, dt), r0=jnp.asarray(r0, dt),
+            focus=jnp.asarray(focus, dt), s0=jnp.asarray(s0, dt), **kwargs)
 
     def local_r(self, s, phi):
-        r2 = jnp.clip(4 * self.parabParam * (self.s0 - s), 0.0, None)
-        return jnp.sqrt(r2)
+        return 2 * jnp.sqrt(jnp.clip((self.s0 - s) * self.focus, 0.0,
+                                     None))
 
     def local_n(self, s, phi):
-        r = jnp.maximum(self.local_r(s, phi), 1e-12)
-        # dr/ds = -2f / r
-        nr = -(-2 * self.parabParam / r)
-        norm = jnp.sqrt(nr ** 2 + 1)
-        b = -2 * self.parabParam / r / norm
-        a = -jnp.sin(phi) / norm
-        c = jnp.cos(phi) / norm
-        return [a, -b, c]
+        a = -jnp.sin(phi)
+        b = -jnp.sqrt(self.focus / jnp.maximum(self.s0 - s, 1e-12))
+        c = -jnp.cos(phi)
+        norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
+        return [a / norm, b / norm, c / norm]
 
 
 @struct.dataclass
 class HyperboloidCapillaryMirror(_RevolutionMethods, OE):
-    """Closed hyperboloid capillary along the beam axis
-    (parametric.py:890-991)."""
+    """Hyperboloid-of-revolution capillary; the *outer* surface reflects
+    (cf. parametric.py:890-991)."""
     hyperbolaA: jnp.ndarray = None
     hyperbolaB: jnp.ndarray = None
-    sCenter: jnp.ndarray = None
+    workingDistance: jnp.ndarray = None
+    ctd: jnp.ndarray = None
+    invertNormal: int = struct.field(pytree_node=False, default=-1)
 
     @classmethod
-    def create(cls, hyperbolaA=100.0, hyperbolaB=1.0, sCenter=0.0, **kwargs):
+    def create(cls, hyperbolaA=10000.0, hyperbolaB=2.5,
+               workingDistance=17.0, limPhysY=(-50.0, 50.0), **kwargs):
         dt = config.dtype()
+        c = math.sqrt(hyperbolaA ** 2 + hyperbolaB ** 2)
+        ctd = c + workingDistance + 0.5 * abs(limPhysY[-1] - limPhysY[0])
         return super(HyperboloidCapillaryMirror, cls).create(
             hyperbolaA=jnp.asarray(hyperbolaA, dt),
             hyperbolaB=jnp.asarray(hyperbolaB, dt),
-            sCenter=jnp.asarray(sCenter, dt), **kwargs)
+            workingDistance=jnp.asarray(workingDistance, dt),
+            ctd=jnp.asarray(ctd, dt), limPhysY=limPhysY, **kwargs)
 
     def local_r(self, s, phi):
-        s_ = s + self.sCenter
-        return self.hyperbolaB * jnp.sqrt(
-            jnp.abs(s_ ** 2 / self.hyperbolaA ** 2 - 1))
+        ss = self.ctd + s
+        return self.hyperbolaB * jnp.sqrt(jnp.abs(
+            ss ** 2 / self.hyperbolaA ** 2 - 1))
 
     def local_n(self, s, phi):
-        s_ = s + self.sCenter
-        A2s2 = jnp.maximum(s_ ** 2 - self.hyperbolaA ** 2, 1e-30)
-        nr = -self.hyperbolaB / self.hyperbolaA * s_ / jnp.sqrt(A2s2)
+        ss = self.ctd + s
+        A2s2 = ss ** 2 - self.hyperbolaA ** 2
+        A2s2 = jnp.where(A2s2 <= 0, 1e22, A2s2)
+        nr = -self.hyperbolaB / self.hyperbolaA * ss / jnp.sqrt(A2s2)
         norm = jnp.sqrt(nr ** 2 + 1)
-        b = nr / norm
-        a = -jnp.sin(phi) / norm
-        c = jnp.cos(phi) / norm
-        return [a, b, c]
+        return [jnp.sin(phi) / norm, nr / norm, jnp.cos(phi) / norm]
