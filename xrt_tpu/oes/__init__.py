@@ -15,12 +15,21 @@ from .gratings import (Grating, NormalFZP, GeneralFZPin0YZ, BlazedGrating,
 from .refractive import (Plate, ParaboloidFlatLens,
                          ParabolicCylinderFlatLens, DoubleParaboloidLens,
                          DoubleParabolicCylinderLens)
+from .bragg import (DicedOE, JohannCylinder, JohanssonCylinder,
+                    JohannToroid, JohanssonToroid, GeneralBraggToroid,
+                    DicedJohannToroid, DicedJohanssonToroid)
+from .laue import (LauePlate, BentLaueCylinder, GroundBentLaueCylinder,
+                   BentLaueSphere)
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM,
                       rmer_from_coddington, rsag_from_coddington)
 
-__all__ = ['OE', 'find_intersection', 'Plate', 'ParaboloidFlatLens',
+__all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
+           'JohanssonCylinder', 'JohannToroid', 'JohanssonToroid',
+           'GeneralBraggToroid', 'DicedJohannToroid',
+           'DicedJohanssonToroid', 'LauePlate', 'BentLaueCylinder',
+           'GroundBentLaueCylinder', 'BentLaueSphere', 'Plate', 'ParaboloidFlatLens',
            'ParabolicCylinderFlatLens', 'DoubleParaboloidLens',
            'DoubleParabolicCylinderLens', 'Grating', 'NormalFZP',
            'GeneralFZPin0YZ', 'BlazedGrating', 'LaminarGrating',
