@@ -6,8 +6,14 @@ from .geometric import GeometricSource, make_energy, polarization_matrix
 from .synchrotron import BendingMagnet, Wiggler
 from .undulator import Undulator, clenshaw_curtis, tanaka_kitamura_Qa2
 from .customfield import SourceFromField
+from .gaussian import (GaussianBeam, LaguerreGaussianBeam,
+                       HermiteGaussianBeam, MeshSource, NESWSource,
+                       CollimatedMeshSource, hermite_poly,
+                       genlaguerre_poly)
 
 __all__ = ['GeometricSource', 'make_energy', 'polarization_matrix',
            'BendingMagnet', 'Wiggler', 'Undulator', 'SourceFromField',
+           'GaussianBeam', 'LaguerreGaussianBeam', 'HermiteGaussianBeam',
+           'MeshSource', 'NESWSource', 'CollimatedMeshSource',
            'clenshaw_curtis',
            'tanaka_kitamura_Qa2']
