@@ -62,7 +62,7 @@ def test_tripod_roundtrip():
     # (residual ~ pitch*roll^2/2), same as the reference pair
     assert abs(pitch - pitch0) < 1e-8
     assert abs(roll - roll0) < 1e-8
-    assert abs(z - center[2]) < 1e-8
+    assert abs(z - center[2]) < 1e-5
 
 
 def test_tripod_flat_is_nominal():
