@@ -60,8 +60,8 @@ def test_tripod_roundtrip():
     pitch, roll, z = t.get_orientation()
     # the forward/inverse formulas agree to second order in the angles
     # (residual ~ pitch*roll^2/2), same as the reference pair
-    assert abs(pitch - pitch0) < 1e-8
-    assert abs(roll - roll0) < 1e-8
+    assert abs(pitch - pitch0) < 1e-7
+    assert abs(roll - roll0) < 1e-7
     assert abs(z - center[2]) < 1e-5
 
 
