@@ -1,0 +1,56 @@
+"""Beam export/load round-trips and BeamFromFile source."""
+import numpy as np
+import jax
+
+from xrt_tpu.beam import new_beam
+from xrt_tpu.beamio import export_beam, load_beam, BeamFromFile
+from xrt_tpu.sources.geometric import GeometricSource
+
+
+def _shine(nrays=500):
+    src = GeometricSource.create(
+        nrays=nrays, dx=0.1, dz=0.05, dxprime=1e-4, dzprime=5e-5,
+        energies=(9000.0, 100.0), distE='normal')
+    return src.shine(jax.random.PRNGKey(0))
+
+
+def _assert_beams_equal(a, b):
+    import dataclasses
+    for f in dataclasses.fields(a):
+        va, vb = getattr(a, f.name), getattr(b, f.name)
+        if va is None:
+            assert vb is None or f.name not in ('x', 'E')
+            continue
+        assert np.allclose(np.asarray(va), np.asarray(vb)), f.name
+
+
+def test_roundtrip_npy(tmp_path):
+    beam = _shine()
+    path = export_beam(beam, str(tmp_path / 'beam'), 'npy')
+    assert path.endswith('.npy')
+    _assert_beams_equal(beam, load_beam(path))
+
+
+def test_roundtrip_pickle(tmp_path):
+    beam = _shine()
+    path = export_beam(beam, str(tmp_path / 'beam'), 'pickle')
+    _assert_beams_equal(beam, load_beam(path))
+
+
+def test_roundtrip_mat(tmp_path):
+    beam = _shine()
+    path = export_beam(beam, str(tmp_path / 'beam'), 'mat')
+    b2 = load_beam(path)
+    # .mat loses exact None/dtype structure but array values round-trip
+    assert np.allclose(np.asarray(beam.x), np.asarray(b2.x))
+    assert np.allclose(np.asarray(beam.E), np.asarray(b2.E))
+    assert np.allclose(np.asarray(beam.Jsp), np.asarray(b2.Jsp))
+
+
+def test_beam_from_file_source(tmp_path):
+    beam = _shine(200)
+    path = export_beam(beam, str(tmp_path / 'saved'), 'npy')
+    src = BeamFromFile.create(path, name='replay')
+    replay = src.shine()
+    assert replay.nrays == 200
+    _assert_beams_equal(beam, replay)
