@@ -8,9 +8,11 @@ from .material import Material, EmptyMaterial
 from .crystal import (Crystal, CrystalFcc, CrystalDiamond, CrystalSi,
                       CrystalFromCell)
 from .multilayer import Multilayer, GradedMultilayer, Coated
+from .polycrystal import Powder, CrystalHarmonics, MonoCrystal
 from . import data
 from . import catalogs
 
 __all__ = ['Element', 'Material', 'EmptyMaterial', 'Crystal', 'CrystalFcc',
            'CrystalDiamond', 'CrystalSi', 'CrystalFromCell', 'Multilayer',
-           'GradedMultilayer', 'Coated', 'data', 'catalogs']
+           'GradedMultilayer', 'Coated', 'Powder', 'CrystalHarmonics',
+           'MonoCrystal', 'data', 'catalogs']

@@ -29,6 +29,68 @@ def _safe_div(num, den, eps=1e-300):
                            jnp.where(den == 0, eps, den), den)
 
 
+def two_beam_amplitude(E, beamInDotNormal, beamOutDotNormal,
+                       beamInDotHNormal, crystd, chi0, chih, chih_,
+                       thetaB, t, geom):
+    """Core Belyakov-Dmitrienko two-beam amplitudes given precomputed
+    susceptibilities (crystal.py:480-633).  All inputs broadcast, which
+    lets the polycrystal materials evaluate a whole (rays x reflexes)
+    batch in one fused XLA call."""
+    E = jnp.asarray(E)
+    waveLength = CH / E
+    k = PI2 / waveLength
+    k0s = -beamInDotNormal * k
+    if beamOutDotNormal is None:
+        beamOutDotNormal = -beamInDotNormal
+    kHs = -beamOutDotNormal * k
+    if beamInDotHNormal is None:
+        beamInDotHNormal = beamInDotNormal
+    HoverK = waveLength / crystd                      # H/k0 = lambda/d
+    kHs0 = kHs == 0
+    kHs = jnp.where(kHs0, 1.0, kHs)
+    b = jnp.where(kHs0, -1.0, k0s / kHs)
+    # well-conditioned form of (H^2/2 - k0H)/k0^2:
+    alpha = HoverK * (0.5 * HoverK - jnp.abs(beamInDotHNormal)) + \
+        chi0 / 2 * (1 / b - 1)
+    k02 = k ** 2
+
+    def for_one_polarization(polFactor):
+        delta = jnp.sqrt(alpha ** 2 + polFactor ** 2 * chih * chih_ / b)
+        if t is None:  # thick Bragg
+            apd = alpha + delta
+            amd = alpha - delta
+            amd = jnp.where(amd == 0, 1e-100, amd)
+            apd = jnp.where(apd == 0, 1e-100, apd)
+            ra = chih * polFactor / apd
+            rb = chih * polFactor / amd
+            ra = jnp.where(jnp.isnan(jnp.abs(ra)) |
+                           (jnp.abs(rb) < jnp.abs(ra)), rb, ra)
+            return ra / jnp.sqrt(jnp.abs(b))
+        tA = t * 1e7  # mm -> A
+        lg = tA * delta * k02 / 2.0 / kHs
+        if geom.startswith('Bragg'):
+            if geom.endswith('transmitted'):
+                ra = 1 / (jnp.cos(lg) - 1j * alpha * jnp.sin(lg) / delta)\
+                    * jnp.exp(1j * k02 * tA * (chi0 - alpha * b) / 2 / k0s)
+            else:
+                ra = chih * polFactor / \
+                    (alpha + 1j * delta / jnp.tan(lg))
+        else:  # Laue
+            if geom.endswith('transmitted'):
+                ra = (jnp.cos(lg) + 1j * alpha * jnp.sin(lg) / delta) * \
+                    jnp.exp(1j * k02 * tA * (chi0 - alpha * b) / 2 / k0s)
+            else:
+                ra = chih * polFactor * jnp.sin(lg) / delta * \
+                    jnp.exp(1j * k02 * tA * (chi0 - alpha * b) / 2 / k0s)
+        if not geom.endswith('transmitted'):
+            ra = ra / jnp.sqrt(jnp.abs(b))
+        return ra
+
+    curveS = for_one_polarization(1.0)
+    curveP = for_one_polarization(jnp.cos(2.0 * thetaB))
+    return curveS, curveP
+
+
 class _CrystalMethods:
     """Shared dynamical-diffraction methods; subclasses must provide
     ``get_structure_factor(E, sinThetaOverLambda)`` returning
@@ -130,63 +192,12 @@ class _CrystalMethods:
         cancellation-friendly form (H/k0)*(H/(2 k0) - |cos(angle to H)|).
         """
         E = jnp.asarray(E)
-        waveLength = CH / E
-        k = PI2 / waveLength
-        k0s = -beamInDotNormal * k
-        if beamOutDotNormal is None:
-            beamOutDotNormal = -beamInDotNormal
-        kHs = -beamOutDotNormal * k
-        if beamInDotHNormal is None:
-            beamInDotHNormal = beamInDotNormal
         crystd = self.d if d_local is None else d_local
-        HoverK = waveLength / crystd                      # H/k0 = lambda/d
-        kHs0 = kHs == 0
-        kHs = jnp.where(kHs0, 1.0, kHs)
-        b = jnp.where(kHs0, -1.0, k0s / kHs)
         _, _, _, chi0, chih, chih_ = self.get_F_chi(E, 0.5 / crystd)
         thetaB = self.get_Bragg_angle(E)
-        # well-conditioned form of (H^2/2 - k0H)/k0^2:
-        alpha = HoverK * (0.5 * HoverK - jnp.abs(beamInDotHNormal)) + \
-            chi0 / 2 * (1 / b - 1)
-
-        HH = PI2 / crystd
-        k02 = k ** 2
-
-        def for_one_polarization(polFactor):
-            delta = jnp.sqrt(alpha ** 2 + polFactor ** 2 * chih * chih_ / b)
-            if self.t is None:  # thick Bragg
-                apd = alpha + delta
-                amd = alpha - delta
-                amd = jnp.where(amd == 0, 1e-100, amd)
-                apd = jnp.where(apd == 0, 1e-100, apd)
-                ra = chih * polFactor / apd
-                rb = chih * polFactor / amd
-                ra = jnp.where(jnp.isnan(jnp.abs(ra)) |
-                               (jnp.abs(rb) < jnp.abs(ra)), rb, ra)
-                return ra / jnp.sqrt(jnp.abs(b))
-            t = self.t * 1e7  # mm -> A
-            lg = t * delta * k02 / 2.0 / kHs
-            if self.geom.startswith('Bragg'):
-                if self.geom.endswith('transmitted'):
-                    ra = 1 / (jnp.cos(lg) - 1j * alpha * jnp.sin(lg) / delta)\
-                        * jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
-                else:
-                    ra = chih * polFactor / \
-                        (alpha + 1j * delta / jnp.tan(lg))
-            else:  # Laue
-                if self.geom.endswith('transmitted'):
-                    ra = (jnp.cos(lg) + 1j * alpha * jnp.sin(lg) / delta) * \
-                        jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
-                else:
-                    ra = chih * polFactor * jnp.sin(lg) / delta * \
-                        jnp.exp(1j * k02 * t * (chi0 - alpha * b) / 2 / k0s)
-            if not self.geom.endswith('transmitted'):
-                ra = ra / jnp.sqrt(jnp.abs(b))
-            return ra
-
-        curveS = for_one_polarization(1.0)
-        curveP = for_one_polarization(jnp.cos(2.0 * thetaB))
-        return curveS, curveP
+        return two_beam_amplitude(
+            E, beamInDotNormal, beamOutDotNormal, beamInDotHNormal,
+            crystd, chi0, chih, chih_, thetaB, self.t, self.geom)
 
     # ---- mosaic crystals (Bacon & Lowde) --------------------------------
     def get_kappa_Q(self, E):

@@ -662,6 +662,23 @@ class _OEMethods:
         nsy = nsy * ones
         nsz = nsz * ones
 
+        if kind == 'powder':
+            # both the Bragg-plane and the "surface" normal become the
+            # random crystallite normal, and the interaction point moves to
+            # a random depth in the powder layer (reflect.py:754-765)
+            kp1, kp2, key = jax.random.split(key, 3)
+            nbx, nby, nbz = matSur.random_orientation(
+                kp1, lb.x.shape[0], lb.x.dtype)
+            nsx, nsy, nsz = nbx, nby, nbz
+            isAsymmetric = False
+            if matSur.t is not None:
+                depth = jax.random.uniform(
+                    kp2, lb.x.shape, lb.x.dtype) * matSur.t
+                lb = lb.replace(
+                    x=jnp.where(goodN, lb.x + lb.a * depth, lb.x),
+                    y=jnp.where(goodN, lb.y + lb.b * depth, lb.y),
+                    z=jnp.where(goodN, lb.z + lb.c * depth, lb.z))
+
         beamInDotNormal = jnp.clip(
             _dot3(lb.a, lb.b, lb.c, nbx, nby, nbz), -1.0, 1.0)
         theta_new = jnp.arccos(beamInDotNormal) - math.pi / 2
@@ -676,10 +693,16 @@ class _OEMethods:
         kg, kmat = jax.random.split(key)
         a_out, b_out, c_out = lb.a, lb.b, lb.c
         order_arr = None
+        ras_poly = rap_poly = None
         mosaic = (kind == 'crystal' and getattr(matSur, 'mosaicity', None)
                   is not None)
 
-        if kind in ('grating', 'FZP'):
+        if kind in ('powder', 'monocrystal', 'crystal harmonics'):
+            a_out, b_out, c_out, ras_poly, rap_poly = \
+                matSur.reflect_multi_hkl(
+                    kmat, lb.E, (lb.a, lb.b, lb.c),
+                    (nbx, nby, nbz), (nsx, nsy, nsz))
+        elif kind in ('grating', 'FZP'):
             g = self.local_g(lb.x, lb.y)
             giveSign = 1 if kind == 'FZP' else -1
             a_out, b_out, c_out, order_arr = self._grating_deflection(
@@ -743,6 +766,9 @@ class _OEMethods:
         if matSur is None:
             ras = rap = jnp.ones_like(lb.x)
             mu = nreal = None
+        elif ras_poly is not None:
+            ras, rap = ras_poly, rap_poly
+            mu = nreal = None
         elif kind == 'crystal':
             beamOutDotSurfaceNormal = _dot3(a_out, b_out, c_out,
                                             nsx, nsy, nsz)
@@ -776,7 +802,8 @@ class _OEMethods:
             Ep_new = Ep_l * rap
 
         if (not fromVacuum) and matSur is not None and \
-                kind not in ('crystal', 'multilayer'):
+                kind not in ('crystal', 'multilayer', 'powder',
+                             'monocrystal', 'crystal harmonics'):
             att = jnp.exp(-mu * tMax * 0.1)  # tMax mm, mu 1/cm
             Jss_new = Jss_new * att
             Jpp_new = Jpp_new * att
