@@ -9,10 +9,11 @@ from .crystal import (Crystal, CrystalFcc, CrystalDiamond, CrystalSi,
                       CrystalFromCell)
 from .multilayer import Multilayer, GradedMultilayer, Coated
 from .polycrystal import Powder, CrystalHarmonics, MonoCrystal
+from .volume import TXMMaterial
 from . import data
 from . import catalogs
 
 __all__ = ['Element', 'Material', 'EmptyMaterial', 'Crystal', 'CrystalFcc',
            'CrystalDiamond', 'CrystalSi', 'CrystalFromCell', 'Multilayer',
            'GradedMultilayer', 'Coated', 'Powder', 'CrystalHarmonics',
-           'MonoCrystal', 'data', 'catalogs']
+           'MonoCrystal', 'TXMMaterial', 'data', 'catalogs']

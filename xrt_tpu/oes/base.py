@@ -740,7 +740,13 @@ class _OEMethods:
                     kg, lb.a, lb.b, lb.c, lb.E, (gx, gy, gz), normal,
                     beamInDotSurfaceNormal, 1, sg)
         elif kind in ('plate', 'lens'):
-            refractive_index = matSur.get_refractive_index(lb.E).real
+            if getattr(matSur, 'needsSpatialAmplitude', False):
+                # voxel-volume materials (TXM): local refractive index at
+                # the intersection point (reflect.py:894-910)
+                refractive_index = matSur.get_refractive_index(
+                    lb.E, lb.x, lb.y, lb.z).real
+            else:
+                refractive_index = matSur.get_refractive_index(lb.E).real
             n1overn2 = 1.0 / refractive_index if fromVacuum \
                 else refractive_index
             signN = jnp.sign(-beamInDotNormal)
@@ -785,6 +791,19 @@ class _OEMethods:
             ras, rap = matSur.get_amplitude(
                 lb.E, beamInDotSurfaceNormal, lb.x, lb.y)[0:2]
             mu = nreal = None
+        elif getattr(matSur, 'needsSpatialAmplitude', False):
+            # TXM voxel volume: on exit integrate mu and phase along the
+            # chord from the entry point (volume.py:410-431); local
+            # positions here are at the current (exit) surface
+            if fromVacuum:
+                res = matSur.get_amplitude(lb.E, beamInDotNormal,
+                                           fromVacuum, lb.x, lb.y, lb.z)
+            else:
+                res = matSur.get_amplitude(
+                    lb.E, beamInDotNormal, fromVacuum,
+                    lb.x - lb.a * tMax, lb.y - lb.b * tMax,
+                    lb.z - lb.c * tMax, lb.a, lb.b, lb.c, tMax)
+            ras, rap, mu, nreal = res
         else:
             res = matSur.get_amplitude(lb.E, beamInDotNormal, fromVacuum)
             ras, rap = res[0], res[1]
