@@ -24,6 +24,7 @@ from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM,
                       rmer_from_coddington, rsag_from_coddington)
+from .mesh3d import MeshOE, read_stl
 
 __all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
            'JohanssonCylinder', 'JohannToroid', 'JohanssonToroid',
@@ -41,4 +42,5 @@ __all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
            'HyperboloidCapillaryMirror', 'FlatMirror', 'BentFlatMirror',
            'SphericalMirror', 'ToroidMirror', 'CylindricalMirror',
            'ConicalMirror', 'SimpleVCM', 'VCM', 'SimpleVFM', 'VFM',
-           'rmer_from_coddington', 'rsag_from_coddington']
+           'rmer_from_coddington', 'rsag_from_coddington',
+           'MeshOE', 'read_stl']
