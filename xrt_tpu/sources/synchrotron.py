@@ -137,6 +137,174 @@ class _SynchrotronBase:
                             jax.random.normal(key, shape, dtype))
         return jnp.full(shape, gamma, dtype)
 
+    # ---- field maps on angular meshes --------------------------------
+    def _auto_meshes(self, energy, theta, psi, nE=65, nTheta=33, nPsi=33):
+        if energy is None or isinstance(energy, str):
+            energy = np.linspace(self.eMin, self.eMax, nE)
+        if theta is None or isinstance(theta, str):
+            theta = np.linspace(self.Theta_min, self.Theta_max, nTheta)
+        if psi is None or isinstance(psi, str):
+            psi = np.linspace(self.Psi_min, self.Psi_max, nPsi)
+        return (np.atleast_1d(np.asarray(energy, float)),
+                np.atleast_1d(np.asarray(theta, float)),
+                np.atleast_1d(np.asarray(psi, float)))
+
+    def _I_map_kwargs(self, harmonic, dgamma):
+        import inspect
+        params = inspect.signature(self.build_I_map).parameters
+        kw = {}
+        if 'harmonic' in params:
+            kw['harmonic'] = harmonic
+        if 'dgamma' in params and dgamma is not None:
+            kw['dgamma'] = dgamma
+        return kw
+
+    def multi_electron_stack(self, key=None, energy='auto', theta='auto',
+                             psi='auto', harmonic=None,
+                             withElectronDivergence=True):
+        """Es and Ep shaped (energy, theta, psi, [harmonic]) where axis 0
+        holds "macro-electrons" with individual random angular offsets and
+        gamma shifts (sybase.py:704-767)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        energy, theta, psi = self._auto_meshes(energy, theta, psi)
+        nmacro = len(energy)
+        tomesh = [energy, theta, psi]
+        if harmonic is not None:
+            tomesh.append(np.atleast_1d(np.asarray(harmonic, float)))
+        mesh = [jnp.asarray(m, config.dtype())
+                for m in np.meshgrid(*tomesh, indexing='ij')]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        expand = (slice(None),) + (None,) * (len(tomesh) - 1)
+        if withElectronDivergence and float(self.dxprime) > 0:
+            dthe = self.dxprime * jax.random.normal(
+                k1, (nmacro,), config.dtype())
+            mesh[1] = mesh[1] + dthe[expand]
+        if withElectronDivergence and float(self.dzprime) > 0:
+            dpsi = self.dzprime * jax.random.normal(
+                k2, (nmacro,), config.dtype())
+            mesh[2] = mesh[2] + dpsi[expand]
+        dgamma = None
+        if self.eEspread > 0:
+            spr = self.gamma * self.eEspread * jax.random.normal(
+                k3, (nmacro,), config.dtype())
+            dgamma = jnp.broadcast_to(spr[expand], mesh[0].shape).ravel()
+        sh = tuple(len(m) for m in tomesh)
+        xH = mesh[3].ravel() if harmonic is not None else None
+        kw = self._I_map_kwargs(xH, dgamma)
+        res = self.build_I_map(k4, mesh[0].ravel(), mesh[1].ravel(),
+                               mesh[2].ravel(), **kw)
+        return res[1].reshape(sh), res[2].reshape(sh)
+
+    def intensities_on_mesh(self, key=None, energy='auto', theta='auto',
+                            psi='auto', harmonic=None, eSpreadSigmas=3.5,
+                            eSpreadNSamples=36, mode='constant',
+                            resultKind='Stokes'):
+        """Stokes parameters [s0, s1/s0, s2/s0, s3/s0] (or
+        [Is, Ip, OAMs, OAMp, Es, Ep] for resultKind='vortex') on the
+        (energy, theta, psi, [harmonic]) mesh, incoherently averaged over
+        energy spread and convolved with the electron divergence
+        (sybase.py:768-958)."""
+        assert resultKind in ('Stokes', 'vortex')
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        energy, theta, psi = self._auto_meshes(energy, theta, psi)
+        tomesh = [energy, theta, psi]
+        sh = [len(energy), len(theta), len(psi)]
+        ispread = None
+        if harmonic is not None:
+            harmonic = np.atleast_1d(np.asarray(harmonic, float))
+            tomesh.append(harmonic)
+            sh.append(len(harmonic))
+        supports_dgamma = 'dgamma' in self._I_map_kwargs(
+            None, jnp.zeros(1))
+        if self.eEspread > 0 and supports_dgamma:
+            spr = np.linspace(-eSpreadSigmas, eSpreadSigmas,
+                              eSpreadNSamples)
+            dgamma_1d = float(self.gamma) * spr * self.eEspread
+            wspr = np.exp(-0.5 * spr ** 2)
+            wspr /= wspr.sum()
+            tomesh.append(dgamma_1d)
+            ispread = len(tomesh) - 1
+            sh.append(len(dgamma_1d))
+        mesh = np.meshgrid(*tomesh, indexing='ij')
+        dt = config.dtype()
+        xE = jnp.asarray(mesh[0].ravel(), dt)
+        xT = jnp.asarray(mesh[1].ravel(), dt)
+        xP = jnp.asarray(mesh[2].ravel(), dt)
+        xH = jnp.asarray(mesh[3].ravel(), dt) if harmonic is not None \
+            else None
+        xG = jnp.asarray(mesh[ispread].ravel(), dt) if ispread else None
+        kw = self._I_map_kwargs(xH, xG)
+        res = self.build_I_map(key, xE, xT, xP, **kw)
+        Es = np.asarray(res[1]).reshape(sh)
+        Ep = np.asarray(res[2]).reshape(sh)
+
+        Is = (Es * Es.conj()).real.astype(float)
+        Ip = (Ep * Ep.conj()).real.astype(float)
+        if resultKind == 'Stokes':
+            Isp = Es * Ep.conj()
+        else:  # vortex: OAM matrix elements (sybase.py:855-875)
+            dEsdth, dEsdps = np.gradient(Es, theta, psi, axis=(1, 2))
+            dEpdth, dEpdps = np.gradient(Ep, theta, psi, axis=(1, 2))
+            th_b = theta.reshape((1, -1) + (1,) * (Es.ndim - 2))
+            ps_b = psi.reshape((1, 1, -1) + (1,) * (Es.ndim - 3))
+            lsy = 1j * (dEsdth * ps_b - dEsdps * th_b)
+            lpy = 1j * (dEpdth * ps_b - dEpdps * th_b)
+            OAMs = (Es.conj() * lsy).real.astype(float)
+            OAMp = (Ep.conj() * lpy).real.astype(float)
+
+        if ispread:
+            ws = wspr.reshape((1,) * (len(sh) - 1) + (-1,))
+            Is = (Is * ws).sum(axis=-1)
+            Ip = (Ip * ws).sum(axis=-1)
+            if resultKind == 'Stokes':
+                Isp = (Isp * ws).sum(axis=-1)
+            else:
+                OAMs = (OAMs * ws).sum(axis=-1)
+                OAMp = (OAMp * ws).sum(axis=-1)
+                Es = (Es * ws).sum(axis=-1)
+                Ep = (Ep * ws).sum(axis=-1)
+
+        if resultKind == 'Stokes':
+            s0 = Is + Ip
+            s1 = Is - Ip
+            s2 = 2.0 * np.real(Isp)
+            s3 = -2.0 * np.imag(Isp)
+            ss = [s0, s1, s2, s3]
+        else:
+            ss = [Is, Ip, OAMs, OAMp, Es, Ep]
+
+        if (float(self.dxprime) > 0 or float(self.dzprime) > 0) and \
+                len(theta) > 1 and len(psi) > 1:
+            from scipy.ndimage import gaussian_filter
+            Sx = float(self.dxprime) / (theta[1] - theta[0])
+            Sz = float(self.dzprime) / (psi[1] - psi[0])
+
+            def filt(a2):
+                if np.iscomplexobj(a2):
+                    return (gaussian_filter(a2.real, [Sx, Sz], mode=mode) +
+                            1j * gaussian_filter(a2.imag, [Sx, Sz],
+                                                 mode=mode))
+                return gaussian_filter(a2, [Sx, Sz], mode=mode)
+
+            for arr in ss:
+                if harmonic is None:
+                    for ie in range(len(energy)):
+                        arr[ie, :, :] = filt(arr[ie, :, :])
+                else:
+                    for ie in range(len(energy)):
+                        for ih in range(len(harmonic)):
+                            arr[ie, :, :, ih] = filt(arr[ie, :, :, ih])
+
+        if resultKind == 'Stokes':
+            with np.errstate(divide='ignore', invalid='ignore'):
+                return [s0,
+                        np.where(s0, s1 / s0, s0),
+                        np.where(s0, s2 / s0, s0),
+                        np.where(s0, s3 / s0, s0)]
+        return ss
+
     def shine(self, key, toGlobal=True, withAmplitudes=True,
               fixedEnergy=False) -> Beam:
         """Monte-Carlo source beam by importance resampling (see module
