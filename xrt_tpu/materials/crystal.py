@@ -258,6 +258,30 @@ class _CrystalMethods:
         return (jnp.sqrt(for_one_polarization(Qs)),
                 jnp.sqrt(for_one_polarization(Qp)))
 
+    # ---- bent crystals (Takagi-Taupin) ----------------------------------
+    def get_amplitude_pytte(self, E, beamInDotNormal, beamOutDotNormal=None,
+                            beamInDotHNormal=None, alphaAsym=None, Ry=None,
+                            Rx=None, inPlaneRotation=0.0, nsteps=4000,
+                            autoLimits=True):
+        """Bent-crystal amplitudes by Takagi-Taupin integration
+        (crystal.py:690-905); falls back to the closed 2-beam forms for
+        unbent crystals and Bragg-transmitted geometry.  *Ry* meridional,
+        *Rx* sagittal bending radii in mm (positive concave)."""
+        import math as _math
+        from . import tt as _tt
+        unbent = (Ry is None or _math.isinf(float(Ry))) and \
+                 (Rx is None or _math.isinf(float(Rx)))
+        if unbent or (self.geom.startswith('B') and
+                      self.geom.endswith('transmitted')):
+            return self.get_amplitude(E, beamInDotNormal, beamOutDotNormal,
+                                      beamInDotHNormal)
+        c1, c2, ir1 = _tt.compute_tt_params(
+            self, alphaAsym, Rm=Ry, Rs=Rx, inPlaneRotation=inPlaneRotation)
+        return _tt.tt_amplitudes(
+            E, beamInDotNormal, beamOutDotNormal, beamInDotHNormal, self,
+            c1, c2, ir1, alphaAsym=alphaAsym, nsteps=nsteps,
+            autoLimits=autoLimits)
+
 
 @struct.dataclass
 class Crystal(_CrystalMethods, Material):
@@ -270,12 +294,16 @@ class Crystal(_CrystalMethods, Material):
     factDW: jnp.ndarray = None
     geom: str = struct.field(pytree_node=False, default='Bragg reflected')
     mosaicity: Optional[jnp.ndarray] = None
+    # Takagi-Taupin controls: isotropic Poisson ratio (None => anisotropic
+    # elastic constants by crystal name) and the use-TT flag read by OEs
+    nu: Optional[float] = struct.field(pytree_node=False, default=None)
+    useTT: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, hkl=(1, 1, 1), d=0.0, V=None, elements='Si',
                quantities=None, rho=0.0, t=None, factDW=1.0,
                geom='Bragg reflected', table='Chantler total', name='',
-               mosaicity=0.0, **kwargs):
+               mosaicity=0.0, nu=None, useTT=False, **kwargs):
         from .. import config
         dt = config.dtype()
         base = Material.create(elements, quantities, kind='crystal', rho=rho,
@@ -289,7 +317,9 @@ class Crystal(_CrystalMethods, Material):
                    d=jnp.asarray(d, dt), V=jnp.asarray(V, dt),
                    factDW=jnp.asarray(factDW, dt), geom=geom,
                    mosaicity=None if not mosaicity else
-                   jnp.asarray(mosaicity, dt), **kwargs)
+                   jnp.asarray(mosaicity, dt),
+                   nu=None if nu is None else float(nu), useTT=bool(useTT),
+                   **kwargs)
 
     def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
         raise NotImplementedError(
@@ -408,7 +438,7 @@ class CrystalFromCell(Crystal):
                          (.75, .25, .75), (.75, .75, .25)),
                atomsFraction=None, t=None, factDW=1.0,
                geom='Bragg reflected', table='Chantler total',
-               mosaicity=0.0, **kwargs):
+               mosaicity=0.0, nu=None, useTT=False, **kwargs):
         from .. import config
         dt = config.dtype()
         b = b or a
@@ -444,6 +474,7 @@ class CrystalFromCell(Crystal):
                    factDW=jnp.asarray(factDW, dt), geom=geom,
                    mosaicity=None if not mosaicity else
                    jnp.asarray(mosaicity, dt),
+                   nu=None if nu is None else float(nu), useTT=bool(useTT),
                    a=a, b_=b, c=c, alpha=alpha, beta=beta, gamma=gamma,
                    atoms_Z=atoms_Z,
                    atomsXYZ=jnp.asarray(atomsXYZ, dt),

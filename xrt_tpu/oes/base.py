@@ -782,6 +782,22 @@ class _OEMethods:
                 ras, rap = matSur.get_amplitude_mosaic(
                     lb.E, beamInDotSurfaceNormal, beamOutDotSurfaceNormal,
                     beamInDotNormal)
+            elif getattr(matSur, 'useTT', False):
+                # bent-crystal Takagi-Taupin amplitudes; bending radii come
+                # from the OE (reflect.py:885-905)
+                Ry = getattr(self, 'R', None)
+                if Ry is None:
+                    Ry = getattr(self, 'Rm', None)
+                lcname = type(self).__name__.lower()
+                if Ry is not None and ('johansson' in lcname or
+                                       'ground' in lcname):
+                    Ry = Ry * 2
+                Rx = getattr(self, 'Rs', None)
+                ras, rap = matSur.get_amplitude_pytte(
+                    lb.E, beamInDotSurfaceNormal, beamOutDotSurfaceNormal,
+                    beamInDotNormal, alphaAsym=self.alpha,
+                    Ry=None if Ry is None else float(Ry),
+                    Rx=None if Rx is None else float(Rx))
             else:
                 ras, rap = matSur.get_amplitude(
                     lb.E, beamInDotSurfaceNormal, beamOutDotSurfaceNormal,
