@@ -67,6 +67,99 @@ def sharded_step(run_process, beamLine, plots, mesh: Mesh, key,
     return jax.jit(fn)(keys)
 
 
+def kirchhoff_sharded(mesh: Mesh, xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                      weights, axis_name=None):
+    """Kirchhoff integral with the destination points sharded over the
+    mesh and the source cloud replicated.
+
+    Each device integrates its own destination tile against the full
+    source — zero collectives, embarrassingly parallel over ICI, the
+    multi-chip analog of the reference's per-GPU ray splitting
+    (myopencl.py:455-590).  Destination arrays are padded to a multiple of
+    the device count; returns full-length accumulators."""
+    from ..waves import kirchhoff_integral_xla
+
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    Nd = xd.shape[0]
+    npad = (-Nd) % ndev
+
+    def padd(v):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    xdp, ydp, zdp = padd(xd), padd(yd), padd(zd)
+    n = [jnp.broadcast_to(jnp.asarray(ni), xs.shape) for ni in n]
+
+    def local(xdl, ydl, zdl):
+        return kirchhoff_integral_xla(xdl, ydl, zdl, xs, ys, zs, Es, Ep,
+                                      k, n, nl, weights)
+
+    fn = shard_map(local, mesh,
+                   in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+                   out_specs=P(axis_name))
+    out = jax.jit(fn)(xdp, ydp, zdp)
+    return tuple(o[:Nd] for o in out)
+
+
+def kirchhoff_ring(mesh: Mesh, xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                   weights, axis_name=None):
+    """Kirchhoff integral with BOTH ends sharded: destinations stay pinned
+    per device while the source shards rotate around the ICI ring with
+    ``lax.ppermute``, each device accumulating its tile against every
+    source shard in turn.
+
+    Use when the source cloud is too large to replicate (e.g. 1e7+ wave
+    samples): per-device memory is O((Nd + Ns)/ndev) and the permute
+    overlaps with compute on TPU.  Scaling-book 'all-gather as a ring'
+    pattern applied to a physics kernel."""
+    from ..waves import kirchhoff_integral_xla
+
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    Nd, Ns = xd.shape[0], xs.shape[0]
+    npad_d = (-Nd) % ndev
+    npad_s = (-Ns) % ndev
+
+    def padto(v, npad):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    xdp, ydp, zdp = (padto(v, npad_d) for v in (xd, yd, zd))
+    n = [jnp.broadcast_to(jnp.asarray(ni), xs.shape) for ni in n]
+    # weights mask the source padding
+    srcs = [padto(v, npad_s) for v in
+            (xs, ys, zs, k, nl, weights, n[0], n[1], n[2])]
+    srcs += [padto(Es, npad_s), padto(Ep, npad_s)]
+
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def local(xdl, ydl, zdl, *src_shards):
+        def body(carry, _):
+            accs, shards = carry
+            (xsl, ysl, zsl, kl, nll, wl, n0, n1, n2, Esl, Epl) = shards
+            out = kirchhoff_integral_xla(xdl, ydl, zdl, xsl, ysl, zsl,
+                                         Esl, Epl, kl, [n0, n1, n2], nll,
+                                         wl)
+            accs = tuple(a + o for a, o in zip(accs, out))
+            shards = tuple(jax.lax.ppermute(s, axis_name, perm)
+                           for s in shards)
+            return (accs, shards), None
+
+        cdt = jnp.result_type(Es)
+        pvary = getattr(jax.lax, 'pvary', lambda x, names: x)
+        init_accs = tuple(pvary(jnp.zeros(xdl.shape, cdt), (axis_name,))
+                          for _ in range(5))
+        (accs, _), _ = jax.lax.scan(body, (init_accs, src_shards),
+                                    None, length=ndev)
+        return accs
+
+    in_specs = (P(axis_name),) * 3 + (P(axis_name),) * len(srcs)
+    fn = shard_map(local, mesh, in_specs=in_specs, out_specs=P(axis_name))
+    out = jax.jit(fn)(xdp, ydp, zdp, *srcs)
+    return tuple(o[:Nd] for o in out)
+
+
 def sharded_trace(run_process, beamLine, mesh: Mesh, key, reduce_fn,
                   axis_name=None):
     """General sharded trace: every device traces with its own key, then

@@ -386,7 +386,9 @@ class Undulator(_SynchrotronBase):
             ag_rep = ag_c
             off_rep = jnp.zeros((nchunks,), dt)
 
-        init = (jnp.zeros(ww1.shape, cdt), jnp.zeros(ww1.shape, cdt))
+        # derive init from ww1 so the carry inherits shard_map's varying
+        # axes (zeros would be unvarying and fail the scan type check)
+        init = ((ww1 * 0).astype(cdt), (ww1 * 0).astype(cdt))
         (Bs, Bp), _ = jax.lax.scan(scan_body, init,
                                    (tg_rep, ag_rep, off_rep))
         return wu * revgamma * Bs, wu * revgamma * Bp

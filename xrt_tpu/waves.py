@@ -343,8 +343,9 @@ def kirchhoff_integral_xla(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         cA = cA + jnp.sum(abcU * c, axis=1)
         return (EsA, EpA, aA, bA, cA), None
 
-    Nd = xd.shape[0]
-    init = tuple(jnp.zeros((Nd,), cdt) for _ in range(5))
+    # derive the init from xd so it inherits the varying-axes type when
+    # this runs inside shard_map (scan carry types must match)
+    init = tuple((xd * 0).astype(cdt) for _ in range(5))
     (EsA, EpA, aA, bA, cA), _ = jax.lax.scan(
         body, init, (xs_c, ys_c, zs_c, k_c, nl_c, w_c, Es_c, Ep_c,
                      n_c[0], n_c[1], n_c[2]))
