@@ -298,12 +298,17 @@ class Crystal(_CrystalMethods, Material):
     # elastic constants by crystal name) and the use-TT flag read by OEs
     nu: Optional[float] = struct.field(pytree_node=False, default=None)
     useTT: bool = struct.field(pytree_node=False, default=False)
+    # sample the diffraction point at a random depth inside the crystal
+    # (BentLaue2D volumetric model, reflect.py:800-830)
+    volumetricDiffraction: bool = struct.field(pytree_node=False,
+                                               default=False)
 
     @classmethod
     def create(cls, hkl=(1, 1, 1), d=0.0, V=None, elements='Si',
                quantities=None, rho=0.0, t=None, factDW=1.0,
                geom='Bragg reflected', table='Chantler total', name='',
-               mosaicity=0.0, nu=None, useTT=False, **kwargs):
+               mosaicity=0.0, nu=None, useTT=False,
+               volumetricDiffraction=False, **kwargs):
         from .. import config
         dt = config.dtype()
         base = Material.create(elements, quantities, kind='crystal', rho=rho,
@@ -319,6 +324,7 @@ class Crystal(_CrystalMethods, Material):
                    mosaicity=None if not mosaicity else
                    jnp.asarray(mosaicity, dt),
                    nu=None if nu is None else float(nu), useTT=bool(useTT),
+                   volumetricDiffraction=bool(volumetricDiffraction),
                    **kwargs)
 
     def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
@@ -438,7 +444,8 @@ class CrystalFromCell(Crystal):
                          (.75, .25, .75), (.75, .75, .25)),
                atomsFraction=None, t=None, factDW=1.0,
                geom='Bragg reflected', table='Chantler total',
-               mosaicity=0.0, nu=None, useTT=False, **kwargs):
+               mosaicity=0.0, nu=None, useTT=False,
+               volumetricDiffraction=False, **kwargs):
         from .. import config
         dt = config.dtype()
         b = b or a
@@ -475,6 +482,7 @@ class CrystalFromCell(Crystal):
                    mosaicity=None if not mosaicity else
                    jnp.asarray(mosaicity, dt),
                    nu=None if nu is None else float(nu), useTT=bool(useTT),
+                   volumetricDiffraction=bool(volumetricDiffraction),
                    a=a, b_=b, c=c, alpha=alpha, beta=beta, gamma=gamma,
                    atoms_Z=atoms_Z,
                    atomsXYZ=jnp.asarray(atomsXYZ, dt),

@@ -158,9 +158,15 @@ def reciprocal_vectors(a, b, c, alpha=90.0, beta=90.0, gamma=90.0):
 def isotropic_plate_params(R1_um, R2_um, nu):
     """(c1, c2, invR1) of the isotropic displacement jacobian
     (deformation.py:7-95)."""
+    return isotropic_plate_params_full(R1_um, R2_um, nu)[:3]
+
+
+def isotropic_plate_params_full(R1_um, R2_um, nu):
+    """Full 5-list [coef1, coef2, invR1, coef3, invR2] = djparams
+    (deformation.py:95)."""
     invR1 = 0.0 if math.isinf(R1_um) else 1.0 / R1_um
     invR2 = 0.0 if math.isinf(R2_um) else 1.0 / R2_um
-    return nu / (1 - nu) * (invR1 + invR2), 0.0, invR1
+    return (nu / (1 - nu) * (invR1 + invR2), 0.0, invR1, 0.0, invR2)
 
 
 def anisotropic_fixed_shape_params(R1_um, R2_um, S, thickness_um):
@@ -207,16 +213,26 @@ def anisotropic_fixed_shape_params(R1_um, R2_um, S, thickness_um):
     coef1 = Sp[2, 0] * mx + Sp[2, 1] * my
     coef2 = ((Sp[4, 0] * mx + Sp[4, 1] * my) * math.cos(alpha) -
              (Sp[3, 0] * mx + Sp[3, 1] * my) * math.sin(alpha))
-    return coef1, coef2, invR1
+    coef3 = ((Sp[4, 0] * mx + Sp[4, 1] * my) * math.sin(alpha) +
+             (Sp[3, 0] * mx + Sp[3, 1] * my) * math.cos(alpha))
+    return coef1, coef2, invR1, coef3, invR2
 
 
 def compute_tt_params(crystal, alphaAsym=None, Rm=None, Rs=None,
                       inPlaneRotation=0.0):
-    """(c1, c2, invR1) in 1/um for *crystal* bent to meridional Rm and
-    sagittal Rs [mm] (set_OE_properties, crystal.py:636-688 +
-    ttcrystal.py:775-841).  Uses the crystal's ``nu`` (isotropic) if set,
-    else the anisotropic fixed-shape model with the crystal's elastic
-    constants looked up by name."""
+    """(c1, c2, invR1) in 1/um — the subset used by the TT integration."""
+    return compute_tt_params_full(crystal, alphaAsym, Rm, Rs,
+                                  inPlaneRotation)[:3]
+
+
+def compute_tt_params_full(crystal, alphaAsym=None, Rm=None, Rs=None,
+                           inPlaneRotation=0.0):
+    """Full djparams [coef1, coef2, invR1, coef3, invR2] in 1/um for
+    *crystal* bent to meridional Rm and sagittal Rs [mm]
+    (set_OE_properties, crystal.py:636-688 + ttcrystal.py:775-841).  Uses
+    the crystal's ``nu`` (isotropic) if set, else the anisotropic
+    fixed-shape model with the crystal's elastic constants looked up by
+    name."""
     geotag = 0.0 if crystal.geom.startswith('B') else 0.5 * math.pi
     phi = (0.0 if alphaAsym is None else float(alphaAsym)) + geotag
     t_mm = 1.0 if crystal.t is None else float(crystal.t)
@@ -227,7 +243,7 @@ def compute_tt_params(crystal, alphaAsym=None, Rm=None, Rs=None,
         else math.inf
     nu = getattr(crystal, 'nu', None)
     if nu is not None:
-        return isotropic_plate_params(Rm_um, Rs_um, float(nu))
+        return isotropic_plate_params_full(Rm_um, Rs_um, float(nu))
     # anisotropic: rotate the compliance matrix into the OE frame
     name = crystal.name or 'Si'
     if name not in CRYSTAL_ELASTIC:

@@ -19,7 +19,7 @@ from .bragg import (DicedOE, JohannCylinder, JohanssonCylinder,
                     JohannToroid, JohanssonToroid, GeneralBraggToroid,
                     DicedJohannToroid, DicedJohanssonToroid)
 from .laue import (LauePlate, BentLaueCylinder, GroundBentLaueCylinder,
-                   BentLaueSphere)
+                   BentLaueSphere, BentLaue2D)
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM,
@@ -30,7 +30,7 @@ __all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
            'JohanssonCylinder', 'JohannToroid', 'JohanssonToroid',
            'GeneralBraggToroid', 'DicedJohannToroid',
            'DicedJohanssonToroid', 'LauePlate', 'BentLaueCylinder',
-           'GroundBentLaueCylinder', 'BentLaueSphere', 'Plate', 'ParaboloidFlatLens',
+           'GroundBentLaueCylinder', 'BentLaueSphere', 'BentLaue2D', 'Plate', 'ParaboloidFlatLens',
            'ParabolicCylinderFlatLens', 'DoubleParaboloidLens',
            'DoubleParabolicCylinderLens', 'Grating', 'NormalFZP',
            'GeneralFZPin0YZ', 'BlazedGrating', 'LaminarGrating',

@@ -223,6 +223,12 @@ class _OEMethods:
             return self.figure_error.local_n_distorted(x, y)
         return None
 
+    def local_n_depth(self, x, y, z):
+        """Bragg-plane + surface normals at depth *z* inside the crystal,
+        for volumetric-diffraction OEs (BentLaue2D, laue.py:366-417).
+        None means no depth dependence."""
+        return None
+
     # ---- effective placement angles (overridden by DCM crystals) ---------
     def _placement(self, is2ndXtal=False):
         pitch = self.pitch
@@ -690,6 +696,31 @@ class _OEMethods:
         else:
             beamInDotSurfaceNormal = beamInDotNormal
 
+        crystalVD = (kind == 'crystal' and isAsymmetric and
+                     getattr(matSur, 'volumetricDiffraction', False) and
+                     matSur.t is not None)
+        if crystalVD:
+            # move the diffraction point to a random depth through the
+            # crystal and re-evaluate the lattice orientation there
+            # (reflect.py:800-830)
+            kvd, key = jax.random.split(key)
+            thMax = -matSur.t / jnp.where(beamInDotSurfaceNormal == 0,
+                                          -1.0, beamInDotSurfaceNormal)
+            dpth = jax.random.uniform(kvd, lb.x.shape, lb.x.dtype) * thMax
+            lb = lb.replace(
+                x=jnp.where(goodN, lb.x + lb.a * dpth, lb.x),
+                y=jnp.where(goodN, lb.y + lb.b * dpth, lb.y),
+                z=jnp.where(goodN, lb.z + lb.c * dpth, lb.z))
+            deep = self.local_n_depth(lb.x, lb.y, lb.z)
+            if deep is not None:
+                nbx, nby, nbz = (deep[0] * ones, deep[1] * ones,
+                                 deep[2] * ones)
+                beamInDotNormal = jnp.clip(
+                    _dot3(lb.a, lb.b, lb.c, nbx, nby, nbz), -1.0, 1.0)
+                theta_new = jnp.arccos(beamInDotNormal) - math.pi / 2
+                lb = lb.replace(theta=jnp.where(goodN, theta_new,
+                                                lb.theta))
+
         kg, kmat = jax.random.split(key)
         a_out, b_out, c_out = lb.a, lb.b, lb.c
         order_arr = None
@@ -717,6 +748,13 @@ class _OEMethods:
                 'transmitted')
             if transmitted:
                 pass  # straight through
+            elif crystalVD:
+                # volumetric diffraction: specular reflection about the
+                # depth-local Bragg-plane normal (reflect.py:873-878 with
+                # useAsymmetricNormal disabled)
+                a_out = lb.a - nbx * 2 * beamInDotNormal
+                b_out = lb.b - nby * 2 * beamInDotNormal
+                c_out = lb.c - nbz * 2 * beamInDotNormal
             elif mosaic:
                 mx, my, mz = _mosaic_normal(kmat, matSur, (nbx, nby, nbz),
                                             lb.E)
