@@ -104,3 +104,20 @@ def test_mesh_divergence_convolution_widens():
         return (p > h).sum()
 
     assert fwhm(profd) >= fwhm(prof)
+
+
+def test_undulator_tuning_curves_and_power():
+    und = _und()
+    theta = np.linspace(-2e-5, 2e-5, 5)
+    psi = np.linspace(-2e-5, 2e-5, 5)
+    Ks = [1.3, 1.45]
+    E1s = [float(und.replace(Ky=und.Ky * 0 + K).E1) for K in Ks]
+    energy = np.linspace(min(E1s) - 150, max(E1s) + 50, 25)
+    tE, tF = und.tuning_curves(energy, theta, psi, [1], Ks)
+    assert tE.shape == (2, 1) and tF.shape == (2, 1)
+    # the peak energy tracks the fundamental: higher K -> lower E1
+    assert tE[0, 0] > tE[1, 0]
+    assert np.allclose(tE[:, 0] * 1000, E1s, rtol=0.02)
+    assert np.all(tF > 0)
+    p = und.power_vs_K_through_aperture(energy, theta, psi, Ks)
+    assert p.shape == (2,) and np.all(p > 0) and np.all(np.isfinite(p))

@@ -557,3 +557,50 @@ class Undulator(_SynchrotronBase):
         B = K2B * Kv / self.L0
         length = self.L0 * self.Np * 1e-3
         return 0.633 * (self.eE ** 2) * (B ** 2) * length * self.eI * 1e3
+
+    def tuning_curves(self, energy, theta, psi, harmonics, Ks):
+        """Maximum flux of the given *harmonics* through the (theta, psi)
+        aperture, for each K in *Ks* (synchr.py:1657-1697).  Returns
+        (tunesE [keV], tunesF [ph/s/0.1%bw]) shaped (len(Ks),
+        len(harmonics)) after transposition like the reference."""
+        import numpy as np
+        energy = np.atleast_1d(np.asarray(energy, float))
+        theta = np.atleast_1d(np.asarray(theta, float))
+        psi = np.atleast_1d(np.asarray(psi, float))
+        try:
+            dtheta, dpsi = theta[1] - theta[0], psi[1] - psi[0]
+        except IndexError:
+            dtheta, dpsi = 1.0, 1.0
+        tunesE, tunesF = [], []
+        for K in Ks:
+            src = self.replace(Ky=jnp.asarray(K, self.Ky.dtype))
+            I0 = np.asarray(src.intensities_on_mesh(
+                energy=energy, theta=theta, psi=psi,
+                harmonic=harmonics)[0])
+            flux = I0.sum(axis=(1, 2)) * dtheta * dpsi  # (nE, nHarm)
+            argm = np.argmax(flux, axis=0)
+            tunesE.append(energy[argm] / 1000.0)
+            tunesF.append(np.max(flux, axis=0))
+        return np.array(tunesE), np.array(tunesF)
+
+    def power_vs_K_through_aperture(self, energy, theta, psi, Ks):
+        """Power [W] passing the (theta, psi) aperture within *energy* for
+        each K (synchr.py:1699-1727)."""
+        import numpy as np
+        from ..physconsts import EV2ERG
+        energy = np.atleast_1d(np.asarray(energy, float))
+        theta = np.atleast_1d(np.asarray(theta, float))
+        psi = np.atleast_1d(np.asarray(psi, float))
+        try:
+            dtheta, dpsi, dE = (theta[1] - theta[0], psi[1] - psi[0],
+                                energy[1] - energy[0])
+        except IndexError:
+            dtheta, dpsi, dE = 1.0, 1.0, 1.0
+        powers = []
+        for K in Ks:
+            src = self.replace(Ky=jnp.asarray(K, self.Ky.dtype))
+            I0 = np.asarray(src.intensities_on_mesh(
+                energy=energy, theta=theta, psi=psi)[0])
+            I0 = I0 * energy[:, None, None]  # distE 'eV' -> power density
+            powers.append(I0.sum() * dtheta * dpsi * dE * EV2ERG * 1e-7)
+        return np.array(powers)
