@@ -57,14 +57,18 @@ def bench_trace():
         w = jnp.where(img.state == 1, img.Jss + img.Jpp, 0.0)
         return hist2d(img.x, img.z, w, 128, 128, (-1.0, 1.0), (-1.0, 1.0))
 
+    import numpy as np
     key = jax.random.PRNGKey(0)
-    step(key).block_until_ready()
+    np.asarray(step(key))  # warm-up; asarray forces real completion on
+    # remote (axon) backends where block_until_ready can return early
     nrep = 10
     t0 = time.time()
+    acc = None
     for i in range(nrep):
         key, sub = jax.random.split(key)
         h = step(sub)
-    h.block_until_ready()
+        acc = h if acc is None else acc + h  # chain so every rep must run
+    float(np.asarray(acc).sum())
     dt = time.time() - t0
     return NRAYS * nrep / dt
 
@@ -86,14 +90,17 @@ def bench_undulator():
         b = und.shine(key)
         return b.x, b.E, b.Jss, b.accepted
 
+    import numpy as np
     key = jax.random.PRNGKey(1)
-    jax.block_until_ready(shine(key))
+    np.asarray(shine(key)[0])
     nrep = 3
     t0 = time.time()
+    s = 0.0
     for i in range(nrep):
         key, sub = jax.random.split(key)
         out = shine(sub)
-    jax.block_until_ready(out)
+        s = s + out[2]
+    float(np.asarray(s).sum())
     return (time.time() - t0) / nrep
 
 
@@ -123,11 +130,17 @@ def bench_kirchhoff():
             jnp.ones(Ns, jnp.float32), jnp.zeros(Ns, jnp.float32),
             t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
             jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
-    jax.block_until_ready(fn(*args))
+    np.asarray(fn(*args)[0])
+    nrep = 3
     t0 = time.time()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    s = None
+    for i in range(nrep):
+        # nudge an input so no layer can reuse a previous result
+        argsi = ((args[0][0] + np.float32(i * 1e-6), args[0][1]),) + args[1:]
+        out = fn(*argsi)
+        s = out[0] if s is None else s + out[0]
+    float(np.asarray(s).sum())
+    dt = (time.time() - t0) / nrep
     return Ns * Nd / dt
 
 

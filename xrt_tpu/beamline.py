@@ -21,6 +21,59 @@ import numpy as np
 import jax
 
 
+def _rot_matrix(seq, pitch, roll, yaw):
+    """3x3 matrix of transforms.rotate_xyz with the given angles (acting on
+    column vectors), built by applying it to the basis."""
+    from .transforms import rotate_xyz
+    import numpy as _np
+    cols = []
+    for v in _np.eye(3):
+        x, y, z = rotate_xyz(float(v[0]), float(v[1]), float(v[2]), seq,
+                             pitch, roll, yaw, skip_zero=False)
+        cols.append([float(x), float(y), float(z)])
+    return _np.array(cols).T
+
+
+def _rodrigues(v, axis, ang):
+    import numpy as _np
+    axis = _np.asarray(axis, float)
+    axis = axis / _np.linalg.norm(axis)
+    c, s = math.cos(ang), math.sin(ang)
+    return (v * c + _np.cross(axis, v) * s +
+            axis * _np.dot(axis, v) * (1 - c))
+
+
+def _axis_extra_angles(d, pitch, roll, yaw, seq='RzRyRx'):
+    """Extra (pitch, roll, yaw) that rotate an element's frame into the
+    beam frame when the optical axis *d* is not +y.
+
+    The element's global->local transform is
+    ``Rext(-e) @ Rmain(-m)`` (oes/base.py:503-510); an element aligned to
+    the tilted axis needs ``Rmain(-m) @ T^{-1}`` where T maps y-hat onto
+    *d*.  Hence ``Rext(-e) = Rmain(-m) @ T^{-1} @ Rmain(-m)^{-1}`` and the
+    angles follow from the Euler extraction for the Rx@Ry@Rz composition
+    used by 'RzRyRx'."""
+    import numpy as _np
+    d = _np.asarray(d, float)
+    d = d / _np.linalg.norm(d)
+    yhat = _np.array([0.0, 1.0, 0.0])
+    axis = _np.cross(yhat, d)
+    na = _np.linalg.norm(axis)
+    if na < 1e-15:
+        return 0.0, 0.0, 0.0
+    ang = math.atan2(na, float(_np.dot(yhat, d)))
+    # T maps yhat -> d; build via Rodrigues columns
+    T = _np.stack([_rodrigues(v, axis, ang) for v in _np.eye(3)]).T
+    Mi = _rot_matrix(seq, -pitch, -roll, -yaw)
+    G = Mi @ T.T @ _np.linalg.inv(Mi)
+    # G must equal Rot(seq=RzRyRx applied z,y,x) with angles
+    # (-ep, -er, -ey): G = Rx(a) @ Ry(b) @ Rz(c)
+    b = math.asin(max(-1.0, min(1.0, G[0, 2])))
+    c = math.atan2(-G[0, 1], G[0, 0])
+    a = math.atan2(-G[1, 2], G[2, 2])
+    return -a, -b, -c
+
+
 class BeamLine:
     """Container of sources, optical elements, apertures and screens.
 
@@ -98,7 +151,8 @@ class BeamLine:
     # ------------------------------------------------------------------
     # auto-alignment along the nominal axis (cf. beamline.py:368-508)
     def place(self, name, element_cls, distance=None, center=None,
-              pitch=None, bragg_material=None, deflection='up', **kwargs):
+              pitch=None, bragg_material=None, deflection='up',
+              autoOrient=True, **kwargs):
         """Build and register an element auto-aligned on the current
         optical axis.
 
@@ -107,7 +161,12 @@ class BeamLine:
         *pitch*: number, or 'auto' with *bragg_material* — then the Bragg
         angle (with refraction correction) at ``alignE`` is used.
         *deflection*: 'up'/'down'/'left'/'right' — how a reflecting element
-        bends the axis."""
+        bends the axis.
+        *autoOrient*: when the axis is no longer +y (after deflecting
+        elements), rotate the element's frame into the beam frame by
+        solving the conjugated extra angles (the analog of the reference's
+        orientation auto-alignment, beamline.py:368-508) — essential e.g.
+        for the second mirror of a KB pair."""
         if center is None:
             center = self._axis_point + self._axis_dir * float(distance)
         center = np.asarray(center, float)
@@ -117,29 +176,54 @@ class BeamLine:
                           m.get_dtheta(self.alignE))
         if pitch is not None:
             kwargs['pitch'] = pitch
+        d = self._axis_dir / np.linalg.norm(self._axis_dir)
+        if autoOrient and not np.allclose(d, [0.0, 1.0, 0.0],
+                                          atol=1e-12):
+            ep, er, ey = _axis_extra_angles(
+                d,
+                float(kwargs.get('pitch', 0.0) or 0.0),
+                float(kwargs.get('roll', 0.0) or 0.0) +
+                float(kwargs.get('positionRoll', 0.0) or 0.0),
+                float(kwargs.get('yaw', 0.0) or 0.0),
+                kwargs.get('rotationSequence', 'RzRyRx'))
+            kwargs.setdefault('extraPitch', ep)
+            kwargs.setdefault('extraRoll', er)
+            kwargs.setdefault('extraYaw', ey)
         element = element_cls.create(center=tuple(center), **kwargs)
         name_ = name
         self.add(name_, element)
         # update the axis
         self._axis_point = center
+        perp = getattr(element, 'cryst2perpTransl', None)
+        if perp is not None and hasattr(element, 'double_reflect') and \
+                float(perp) != 0.0:
+            # DCM fixed exit: the axis jumps by 2*perp*cos(bragg) = the
+            # fixedOffset, along beam-z
+            fx = 2.0 * float(perp) * math.cos(float(element.braggAngle))
+            x_b = np.cross(d, [0.0, 0.0, 1.0])
+            nx = np.linalg.norm(x_b)
+            x_b = np.array([1.0, 0.0, 0.0]) if nx < 1e-12 else x_b / nx
+            z_b = np.cross(x_b, d)
+            self._axis_point = self._axis_point + z_b * float(fx)
         if pitch and hasattr(element, 'reflect'):
             sign = {'up': 1.0, 'down': -1.0}.get(deflection, 1.0)
             dbl = 2.0 * float(pitch) * sign
             if hasattr(element, 'double_reflect') and \
                     not hasattr(element, 't'):
                 dbl = 0.0  # DCM: fixed exit, axis direction unchanged
-            d = self._axis_dir
-            cosd, sind = math.cos(dbl), math.sin(dbl)
-            if deflection in ('up', 'down'):
-                self._axis_dir = np.array([
-                    d[0], d[1] * cosd - d[2] * sind,
-                    d[1] * sind + d[2] * cosd])
-            else:
-                sgn = 1.0 if deflection == 'left' else -1.0
-                a = dbl * sgn
-                self._axis_dir = np.array([
-                    d[0] * math.cos(a) - d[1] * math.sin(a),
-                    d[0] * math.sin(a) + d[1] * math.cos(a), d[2]])
+            if dbl:
+                # rotate the axis in the BEAM frame: about the beam-local
+                # x for up/down, about the beam-local z for left/right
+                x_b = np.cross(d, [0.0, 0.0, 1.0])
+                nx = np.linalg.norm(x_b)
+                x_b = np.array([1.0, 0.0, 0.0]) if nx < 1e-12 else x_b / nx
+                z_b = np.cross(x_b, d)
+                if deflection in ('up', 'down'):
+                    axis, ang = x_b, dbl
+                else:
+                    sgn = 1.0 if deflection == 'left' else -1.0
+                    axis, ang = z_b, dbl * sgn
+                self._axis_dir = _rodrigues(d, axis, ang)
         return element
 
     @property

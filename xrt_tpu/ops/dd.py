@@ -152,3 +152,26 @@ def mod_two_pi(phi_hi, phi_lo):
     h, l = add(h, l, -p_hi, -p_lo)
     h, l = add_f(h, l, -n3 * _TWO_PI_LO)
     return h + l
+
+
+# 1/(2*pi) as a double-float constant
+_INV_TWO_PI_64 = 1.0 / (2 * np.pi)
+INV_TWO_PI_HI = np.float32(_INV_TWO_PI_64)
+INV_TWO_PI_LO = np.float32(_INV_TWO_PI_64 - np.float64(INV_TWO_PI_HI))
+
+
+def frac_two_pi(m_hi, m_lo):
+    """2*pi * frac(m) in [-2pi, 2pi] for dd m = phase/(2*pi).
+
+    The cheap phase reduction: with m = kappa*r (kappa = k/2pi in dd), the
+    integer part of m_hi is removed by an *exact* f32 subtraction (round()
+    of an f32 differs from it by <= 0.5, so the difference is exactly
+    representable), and likewise for the overflow of m_lo.  Costs ~8 flops
+    against ~200 for the generic :func:`mod_two_pi` ladder; accuracy is the
+    same class — both are bounded by the ~2^-48 relative error of the dd
+    product, i.e. phase*2^-48 radians."""
+    n = jnp.round(m_hi)
+    f1 = m_hi - n          # exact
+    n2 = jnp.round(m_lo)
+    f2 = m_lo - n2         # exact
+    return _TWO_PI_HI * (f1 + f2) + _TWO_PI_LO * (f1 + f2)

@@ -44,8 +44,14 @@ def _phase_dd(xd, yd, zd, xs, ys, zs, k):
     r2_h, r2_l = dd.add(x2_h, x2_l, y2_h, y2_l)
     r2_h, r2_l = dd.add(r2_h, r2_l, z2_h, z2_l)
     r_h, r_l = dd.sqrt(r2_h, r2_l)
-    ph_h, ph_l = dd.mul(k[0], k[1], r_h, r_l)
-    phase = dd.mod_two_pi(ph_h, ph_l)
+    # kappa = k/(2*pi) per source sample (cheap: src-shaped, amortized over
+    # the dst dimension), then phase = 2*pi*frac(kappa*r) — the fast
+    # reduction, see dd.frac_two_pi
+    ka_h, ka_l = dd.mul(k[0], k[1],
+                        jnp.full_like(k[0], dd.INV_TWO_PI_HI),
+                        jnp.full_like(k[0], dd.INV_TWO_PI_LO))
+    m_h, m_l = dd.mul(ka_h, ka_l, r_h, r_l)
+    phase = dd.frac_two_pi(m_h, m_l)
     return phase, r_h, dx_h, dy_h, dz_h
 
 
@@ -136,15 +142,45 @@ def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             aA_r + 1j * aA_i, bA_r + 1j * bA_i, cA_r + 1j * cA_i)
 
 
+def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
+    """Lean dd phase for the Pallas kernel: exact two-prod squares with a
+    single unnormalized low-order channel, rsqrt-based square root, and the
+    frac(kappa*r) reduction.  ~40% fewer flops than the normalized chain
+    for a worst-case phase error of ~0.03 rad at k*r ~ 1e12 (the normalized
+    path gives ~0.01; both are limited by the 48-bit dd product).
+
+    Returns (phase, r, 1/r, dx, dy, dz)."""
+    dxh, dxl = dd.sub(xd_t[0], xd_t[1], xs_t[0], xs_t[1])
+    dyh, dyl = dd.sub(yd_t[0], yd_t[1], ys_t[0], ys_t[1])
+    dzh, dzl = dd.sub(zd_t[0], zd_t[1], zs_t[0], zs_t[1])
+    p1, e1 = dd.two_prod(dxh, dxh)
+    p2, e2 = dd.two_prod(dyh, dyh)
+    p3, e3 = dd.two_prod(dzh, dzh)
+    s1, t1 = dd.two_sum(p1, p2)
+    s2, t2 = dd.two_sum(s1, p3)
+    lo = t1 + t2 + e1 + e2 + e3 + 2.0 * (dxh * dxl + dyh * dyl +
+                                         dzh * dzl)
+    s0 = jnp.sqrt(s2)
+    q, eq = dd.two_prod(s0, s0)
+    corr = ((s2 - q) + (lo - eq)) / (2.0 * s0)
+    mh, me = dd.two_prod(ka_t[0], s0)
+    ml = me + ka_t[0] * corr + ka_t[1] * s0
+    phase = dd.frac_two_pi(mh, ml)
+    return phase, s0, 1.0 / s0, dxh, dyh, dzh
+
+
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                              weights, dst_tile=128, src_chunk=256,
-                              sublanes=8):
+                              weights, dst_tile=128, src_chunk=512,
+                              sublanes=8, phase_mode='fast'):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
     points per program), fori_loop over source chunks, the dd-phase math of
     :func:`kirchhoff_integral_dd` on the VPU with (dst_tile x src_chunk)
     2D vector work per step.
 
-    Accepts plain f32 arrays (lo parts zero) or (hi, lo) tuples."""
+    Accepts plain f32 arrays (lo parts zero) or (hi, lo) tuples.
+    *phase_mode*: 'fast' uses :func:`_phase_dd_fast` (~18% faster end to
+    end, worst-case ~0.03 rad phase), 'exact' the fully renormalized dd
+    chain (~0.01 rad)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -178,8 +214,12 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     def prep_s(v):
         return padto(v, npad_s).reshape(nsrc_chunks, src_chunk)
 
+    # kappa = k/(2*pi) in dd, precomputed per source sample for the fast
+    # frac-based phase reduction
+    kah, kal = dd.mul(k[0], k[1], jnp.full_like(k[0], dd.INV_TWO_PI_HI),
+                      jnp.full_like(k[0], dd.INV_TWO_PI_LO))
     srcs = [prep_s(v) for v in (
-        xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1],
+        xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1], kah, kal,
         nl, weights,
         Es.real.astype(f32), Es.imag.astype(f32),
         Ep.real.astype(f32), Ep.imag.astype(f32),
@@ -189,58 +229,78 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     dsts = [prep_d(v) for v in (xd[0], xd[1], yd[0], yd[1], zd[0], zd[1])]
 
     def kernel(xdh, xdl, ydh, ydl, zdh, zdl,
-               xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, nl_ref, w_ref,
+               xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, kahr, kalr,
+               nl_ref, w_ref,
                esr, esi, epr, epi, n0, n1, n2,
                o0, o1, o2, o3, o4, o5, o6, o7, o8, o9):
         outs = (o0, o1, o2, o3, o4, o5, o6, o7, o8, o9)
+        cols = []
         for srow in range(sublanes):
-            def col(ref):
+            def col(ref, srow=srow):
                 return ref[srow, :].reshape(-1, 1)
-            xd_t = (col(xdh), col(xdl))
-            yd_t = (col(ydh), col(ydl))
-            zd_t = (col(zdh), col(zdl))
+            cols.append(((col(xdh), col(xdl)), (col(ydh), col(ydl)),
+                         (col(zdh), col(zdl))))
 
-            def body(j, acc):
-                def row(ref):
-                    return ref[j, :].reshape(1, -1)
-                xs_t = (row(xsh), row(xsl))
-                ys_t = (row(ysh), row(ysl))
-                zs_t = (row(zsh), row(zsl))
-                k_t = (row(kh), row(kl))
-                phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t, ys_t,
-                                              zs_t, k_t)
-                rinv = 1.0 / r
-                ns = (a * row(n0) + b * row(n1) + c * row(n2)) * rinv
-                pre = k_t[0] * (1.0 / (4 * PI)) * (row(nl_ref) + ns) * \
-                    rinv * row(w_ref)
+        # single loop over source chunks; the src rows are sliced once per
+        # chunk and reused by all sublane rows (flat carry of
+        # 10*sublanes accumulators)
+        def body(j, acc):
+            def row(ref):
+                return ref[j, :].reshape(1, -1)
+            xs_t = (row(xsh), row(xsl))
+            ys_t = (row(ysh), row(ysl))
+            zs_t = (row(zsh), row(zsl))
+            ka_t = (row(kahr), row(kalr))
+            k_t = (row(kh), row(kl))
+            khr = k_t[0]
+            nlr = row(nl_ref)
+            wr = row(w_ref)
+            esr_c = row(esr)
+            esi_c = row(esi)
+            epr_c = row(epr)
+            epi_c = row(epi)
+            n0r, n1r, n2r = row(n0), row(n1), row(n2)
+            out = []
+            for srow in range(sublanes):
+                xd_t, yd_t, zd_t = cols[srow]
+                if phase_mode == 'fast':
+                    phase, r, rinv, a, b, c = _phase_dd_fast(
+                        xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t)
+                else:
+                    phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t,
+                                                  ys_t, zs_t, k_t)
+                    rinv = 1.0 / r
+                ns = (a * n0r + b * n1r + c * n2r) * rinv
+                pre = khr * (1.0 / (4 * PI)) * (nlr + ns) * rinv * wr
                 cph = jnp.cos(phase)
                 sph = jnp.sin(phase)
                 U_r = -pre * sph
                 U_i = pre * cph
-                esr_c = row(esr)
-                esi_c = row(esi)
-                epr_c = row(epr)
-                epi_c = row(epi)
-                f = k_t[0] ** 2 * (1.0 / (4 * PI)) * rinv
+                f = khr ** 2 * (1.0 / (4 * PI)) * rinv
                 sE_r = esr_c + epr_c
                 sE_i = esi_c + epi_c
                 g_r = f * (sE_r * U_r - sE_i * U_i)
                 g_i = f * (sE_r * U_i + sE_i * U_r)
-                return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
-                        acc[1] + jnp.sum(esr_c * U_i + esi_c * U_r, axis=1),
-                        acc[2] + jnp.sum(epr_c * U_r - epi_c * U_i, axis=1),
-                        acc[3] + jnp.sum(epr_c * U_i + epi_c * U_r, axis=1),
-                        acc[4] + jnp.sum(g_r * a, axis=1),
-                        acc[5] + jnp.sum(g_i * a, axis=1),
-                        acc[6] + jnp.sum(g_r * b, axis=1),
-                        acc[7] + jnp.sum(g_i * b, axis=1),
-                        acc[8] + jnp.sum(g_r * c, axis=1),
-                        acc[9] + jnp.sum(g_i * c, axis=1))
+                base = srow * 10
+                out.extend((
+                    acc[base + 0] + jnp.sum(esr_c*U_r - esi_c*U_i, axis=1),
+                    acc[base + 1] + jnp.sum(esr_c*U_i + esi_c*U_r, axis=1),
+                    acc[base + 2] + jnp.sum(epr_c*U_r - epi_c*U_i, axis=1),
+                    acc[base + 3] + jnp.sum(epr_c*U_i + epi_c*U_r, axis=1),
+                    acc[base + 4] + jnp.sum(g_r * a, axis=1),
+                    acc[base + 5] + jnp.sum(g_i * a, axis=1),
+                    acc[base + 6] + jnp.sum(g_r * b, axis=1),
+                    acc[base + 7] + jnp.sum(g_i * b, axis=1),
+                    acc[base + 8] + jnp.sum(g_r * c, axis=1),
+                    acc[base + 9] + jnp.sum(g_i * c, axis=1)))
+            return tuple(out)
 
-            init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
-            acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
-            for ref, val in zip(outs, acc):
-                ref[srow, :] = val
+        init = tuple(jnp.zeros((dst_tile,), f32)
+                     for _ in range(10 * sublanes))
+        acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
+        for srow in range(sublanes):
+            for i, ref in enumerate(outs):
+                ref[srow, :] = acc[srow * 10 + i]
 
     grid = (nrows // sublanes,)
     dst_spec = pl.BlockSpec((sublanes, dst_tile), lambda i: (i, 0),
@@ -249,7 +309,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[dst_spec] * 6 + [src_spec] * 17,
+        in_specs=[dst_spec] * 6 + [src_spec] * 19,
         out_specs=tuple([dst_spec] * 10),
         out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
                         for _ in range(10)),
