@@ -98,3 +98,26 @@ def test_json_roundtrip(tmp_path):
                                float(bl['mirror'].pitch))
     beams = bl2.propagate_flow(jax.random.PRNGKey(4))
     assert (np.asarray(beams['screen'].state) == 1).mean() > 0.9
+
+
+def test_normalize_sibling_plots(tmp_path):
+    import numpy as np
+    from xrt_tpu.plotspec import XYCPlot, XYCAxis
+    from xrt_tpu.runner import normalize_sibling_plots
+    from xrt_tpu.plotting import rgb_image
+    plots = []
+    for peak in (1.0, 4.0):
+        p = XYCPlot(beam='screen', xaxis=XYCAxis('x', 'mm', limits=(-1, 1)),
+                    yaxis=XYCAxis('z', 'mm', limits=(-1, 1)))
+        p.total2D_RGB[:, :, :] = 0.0
+        p.total2D_RGB[10, 10, 0] = peak
+        p.total2D[:] = peak
+        p.total1D_x[:] = peak
+        p.total1D_y[:] = peak
+        plots.append(p)
+    m2, m2rgb = normalize_sibling_plots(plots)
+    assert m2 == 4.0 and m2rgb == 4.0
+    # the dimmer plot renders at 1/4 brightness of the brighter
+    i0 = rgb_image(plots[0]).max()
+    i1 = rgb_image(plots[1]).max()
+    assert np.isclose(i0, 0.25) and np.isclose(i1, 1.0)

@@ -177,8 +177,10 @@ class BeamLine:
         if pitch is not None:
             kwargs['pitch'] = pitch
         d = self._axis_dir / np.linalg.norm(self._axis_dir)
-        if autoOrient and not np.allclose(d, [0.0, 1.0, 0.0],
-                                          atol=1e-12):
+        canOrient = hasattr(element_cls, 'reflect') or \
+            hasattr(element_cls, 'double_reflect')
+        if autoOrient and canOrient and \
+                not np.allclose(d, [0.0, 1.0, 0.0], atol=1e-12):
             ep, er, ey = _axis_extra_angles(
                 d,
                 float(kwargs.get('pitch', 0.0) or 0.0),

@@ -13,9 +13,11 @@ import numpy as np
 
 def rgb_image(plot, saturation='auto'):
     """The (ybins, xbins, 3) displayable RGB image of a plot: accumulated
-    RGB weights normalized by their maximum brightness channel."""
+    RGB weights normalized by their maximum brightness channel (or by the
+    shared ``globalMax2D_RGB`` set by
+    :func:`~xrt_tpu.runner.normalize_sibling_plots`)."""
     img = np.asarray(plot.total2D_RGB, float)
-    mx = img.max()
+    mx = getattr(plot, 'globalMax2D_RGB', None) or img.max()
     if mx > 0:
         img = img / mx
     return np.clip(img, 0.0, 1.0)

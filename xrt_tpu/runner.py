@@ -56,6 +56,21 @@ BEAM_GETTERS = {
         2. * b.Jsp.real, b.Jss - b.Jpp),
     's': lambda b: getattr(b, 's', b.x),
     'incidence_angle': lambda b: getattr(b, 'theta', jnp.zeros_like(b.x)),
+    # (remaining reference getters, _beam_props.py:40-162)
+    'a': lambda b: b.a,
+    'b': lambda b: b.b,
+    'xzprime': lambda b: jnp.sqrt(b.a ** 2 + b.c ** 2) / _safe_b(b),
+    'order': lambda b: b.order if b.order is not None
+        else jnp.zeros_like(b.x),
+    'reflection_number': lambda b: b.nRefl if b.nRefl is not None
+        else jnp.zeros_like(b.x),
+    'Es_amp': lambda b: jnp.abs(b.Es),
+    'Ep_amp': lambda b: jnp.abs(b.Ep),
+    'Es_phase': lambda b: jnp.angle(b.Es),
+    'Ep_phase': lambda b: jnp.angle(b.Ep),
+    'ratio_ellipse_axes': lambda b: jnp.tan(0.5 * jnp.arcsin(jnp.clip(
+        2 * b.Jsp.imag / jnp.maximum(b.Jss + b.Jpp, 1e-300), -1., 1.))),
+    'phase_shift': lambda b: jnp.angle(b.Jsp) / jnp.pi,  # units of pi
 }
 
 
@@ -249,6 +264,28 @@ def _accumulate(plot: XYCPlot, h):
     plot.nRaysSeeded += float(c['nRaysSeeded'])
     plot.nRaysSeededI += float(c['nRaysSeededI'])
     plot.repeats += 1
+
+
+def normalize_sibling_plots(plots, saveSuffix='_norm'):
+    """Put a family of plots on a common brightness scale and re-save them
+    (reference runner.py:460-498): the global maxima of the 1D profiles and
+    the 2D RGB histogram are shared across all *plots* via their
+    ``globalMax*`` attributes before re-rendering."""
+    import numpy as _np
+    max2D = max(float(_np.max(p.total2D)) for p in plots) or 1.0
+    max2D_RGB = max(float(_np.max(p.total2D_RGB)) for p in plots) or 1.0
+    max1Dx = max(float(_np.max(p.total1D_x)) for p in plots) or 1.0
+    max1Dy = max(float(_np.max(p.total1D_y)) for p in plots) or 1.0
+    for plot in plots:
+        plot.globalMax2D = max2D
+        plot.globalMax2D_RGB = max2D_RGB
+        plot.globalMax1D_x = max1Dx
+        plot.globalMax1D_y = max1Dy
+        if plot.saveName:
+            from .plotting import save_plot
+            root, ext = plot.saveName.rsplit('.', 1)
+            save_plot(plot, f'{root}{saveSuffix}.{ext}')
+    return max2D, max2D_RGB
 
 
 def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
