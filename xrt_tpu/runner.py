@@ -266,6 +266,36 @@ def _accumulate(plot: XYCPlot, h):
     plot.repeats += 1
 
 
+RUN_HISTORY_FILE = 'lastRuns.pickle'
+
+
+def store_run_history(t_start, t_stop, tag='', fileName=None, keep=10):
+    """Append (start, stop, duration, tag) to the run-history pickle
+    (reference runner.py:87-111, lastRuns.pickle)."""
+    import pickle
+    import os
+    fileName = fileName or RUN_HISTORY_FILE
+    runs = load_run_history(fileName)
+    runs.append((time.localtime(t_start), time.localtime(t_stop),
+                 t_stop - t_start, tag))
+    with open(fileName, 'wb') as f:
+        pickle.dump(runs[-keep:], f)
+    return runs[-keep:]
+
+
+def load_run_history(fileName=None):
+    import pickle
+    import os
+    fileName = fileName or RUN_HISTORY_FILE
+    if not os.path.exists(fileName):
+        return []
+    try:
+        with open(fileName, 'rb') as f:
+            return list(pickle.load(f))
+    except Exception:
+        return []
+
+
 def normalize_sibling_plots(plots, saveSuffix='_norm'):
     """Put a family of plots on a common brightness scale and re-save them
     (reference runner.py:460-498): the global maxima of the 1D profiles and
@@ -291,7 +321,8 @@ def normalize_sibling_plots(plots, saveSuffix='_norm'):
 def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
                     key=None, updateEvery=None, pickleEvery=None,
                     generator=None, generatorArgs=(), afterScript=None,
-                    afterScriptArgs=(), mesh=None, verbose=False):
+                    afterScriptArgs=(), mesh=None, verbose=False,
+                    historyFile=None, historyTag=''):
     """Trace ``repeats`` batches and accumulate histograms into *plots*
     (cf. reference runner.run_ray_tracing, xrt/runner.py:501).
 
@@ -359,11 +390,15 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
                 save_plot(plot, plot.saveName)
         return key
 
+    t_run0 = time.time()
     if gen is None:
         one_scan_point(key)
     else:
         for _ in gen:
             key = one_scan_point(key)
+    if historyFile:
+        store_run_history(t_run0, time.time(), tag=historyTag,
+                          fileName=historyFile)
     if afterScript:
         afterScript(*afterScriptArgs)
     return plots
