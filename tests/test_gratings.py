@@ -94,3 +94,41 @@ def test_fzp_focuses():
     r_rms = np.sqrt(x ** 2 + z ** 2).std()
     # focused spot much smaller than the FZP radius
     assert np.sqrt(x**2 + z**2).mean() < 0.1 * rN
+
+
+def test_grating_tabulated_efficiency():
+    """A grating material with tabulated per-order efficiency applies it as
+    |amp|^2 per ray according to the sampled order."""
+    import jax
+    import jax.numpy as jnp
+    mat = xm.Material.create('Au', rho=19.3, kind='grating',
+                             efficiency=[(1, 0.36), (0, 0.04)])
+    gr = Grating.create(rho=600.0, center=(0, P, 0), pitch=0.1,
+                        material=mat, order=(0, 1),
+                        limPhysX=(-20, 20), limPhysY=(-200, 200))
+    src = GeometricSource.create(
+        nrays=2000, dx=0.0, dz=0.0, distx=None, distz=None,
+        distxprime=None, distzprime=None, dxprime=0.0, dzprime=0.0,
+        distE='lines', energies=(E0,), polarization='horizontal')
+    beam = src.shine(jax.random.PRNGKey(0))
+    glo, _ = gr.reflect(beam, key=jax.random.PRNGKey(5))
+    good = np.asarray(glo.state) == 1
+    orders = np.asarray(glo.order)[good]
+    I = np.asarray(glo.Jss + glo.Jpp)[good]
+    assert np.allclose(I[orders == 1], 0.36, rtol=1e-6)
+    assert np.allclose(I[orders == 0], 0.04, rtol=1e-6)
+
+
+def test_grating_efficiency_energy_table(tmp_path):
+    import jax
+    # table: E, order0, order1 efficiencies
+    tab = np.array([[8000.0, 0.10, 0.50], [10000.0, 0.30, 0.20]])
+    f = str(tmp_path / 'eff.dat')
+    np.savetxt(f, tab)
+    mat = xm.Material.create('Au', rho=19.3, kind='grating',
+                             efficiency=[(1, 2), (0, 1)], efficiencyFile=f)
+    import jax.numpy as jnp
+    ampS, ampP = mat.get_grating_efficiency(
+        jnp.asarray([9000.0, 9000.0]), jnp.asarray([1.0, 0.0]))
+    # linear interpolation at 9000: order1 -> 0.35, order0 -> 0.20
+    assert np.allclose(np.asarray(ampS) ** 2, [0.35, 0.20], rtol=1e-12)

@@ -38,10 +38,18 @@ class Material:
     table: str = struct.field(pytree_node=False, default='Chantler total')
     # constant (energy-independent) refractive index override, or None
     refractiveIndex: Optional[jnp.ndarray] = None
+    # grating efficiency: static orders tuple + per-order efficiency;
+    # either constant values (efficiency_E is None) or energy tables
+    # (material.py:26-27, 78-98, get_grating_efficiency:391)
+    efficiency_orders: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                      default=())
+    efficiency_I: Optional[jnp.ndarray] = None   # (n_orders,) or (n_orders, nE)
+    efficiency_E: Optional[jnp.ndarray] = None   # (nE,) or None
 
     @classmethod
     def create(cls, elements, quantities=None, kind='auto', rho=0.0, t=None,
-               table='Chantler total', name='', refractiveIndex=None):
+               table='Chantler total', name='', refractiveIndex=None,
+               efficiency=None, efficiencyFile=None):
         from .. import config
         dt = config.dtype()
         if isinstance(elements, str):
@@ -53,10 +61,27 @@ class Material:
             name = ''.join(el.name for el in els)
         ri = None if refractiveIndex is None else jnp.asarray(
             refractiveIndex, config.cdtype())
+        eff_orders = ()
+        eff_I = eff_E = None
+        if efficiency is not None:
+            import numpy as np
+            eff_orders = tuple(int(o) for o, _ in efficiency)
+            if efficiencyFile is None:
+                eff_I = jnp.asarray([float(v) for _, v in efficiency], dt)
+            else:
+                # text table: 0th column energy, others per-order
+                # efficiencies selected by the 1-based column index in
+                # *efficiency* (material.py:84-98)
+                data = np.loadtxt(efficiencyFile)
+                eff_E = jnp.asarray(data[:, 0], dt)
+                eff_I = jnp.asarray(
+                    np.stack([data[:, int(v)] for _, v in efficiency]), dt)
         return cls(elements=els, quantities=jnp.asarray(quantities, dt),
                    rho=jnp.asarray(rho, dt),
                    t=None if t is None else jnp.asarray(t, dt),
-                   kind=kind, name=name, table=table, refractiveIndex=ri)
+                   kind=kind, name=name, table=table, refractiveIndex=ri,
+                   efficiency_orders=eff_orders, efficiency_I=eff_I,
+                   efficiency_E=eff_E)
 
     @property
     def mass(self):
@@ -66,6 +91,24 @@ class Material:
 
     def resolved_kind(self, default='mirror') -> str:
         return default if self.kind == 'auto' else self.kind
+
+    def get_grating_efficiency(self, E, order):
+        """Per-ray amplitude from the tabulated grating efficiency
+        (material.py:391-413): match each ray's diffraction *order* against
+        the configured orders, optionally interpolating in energy.
+        Returns (ampS, ampP)."""
+        E = jnp.asarray(E)
+        order = jnp.asarray(order)
+        resI = jnp.zeros(E.shape, E.dtype)
+        for i, o in enumerate(self.efficiency_orders):
+            if self.efficiency_E is None:
+                val = self.efficiency_I[i]
+            else:
+                val = jnp.interp(E, self.efficiency_E,
+                                 self.efficiency_I[i])
+            resI = jnp.where(order == o, val, resI)
+        amp = jnp.sqrt(jnp.clip(resI, 0.0, None))
+        return amp, amp
 
     def get_refractive_index(self, E):
         r"""n(E) = 1 - r0*lambda^2*N_A*rho/(2 pi M) * sum_i x_i f_i(0)

@@ -845,6 +845,12 @@ class _OEMethods:
             ras, rap = matSur.get_amplitude(
                 lb.E, beamInDotSurfaceNormal, lb.x, lb.y)[0:2]
             mu = nreal = None
+        elif kind == 'grating' and getattr(matSur, 'efficiency_orders',
+                                           ()) and order_arr is not None:
+            # tabulated grating efficiency by order/energy
+            # (reflect.py:1011, material.py:391-413)
+            ras, rap = matSur.get_grating_efficiency(lb.E, order_arr)
+            mu = nreal = None
         elif getattr(matSur, 'needsSpatialAmplitude', False):
             # TXM voxel volume: on exit integrate mu and phase along the
             # chord from the entry point (volume.py:410-431); local
