@@ -38,3 +38,29 @@ def dtype():
 def cdtype():
     """Default complex dtype matching :func:`dtype`."""
     return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def auto_units_angle(angle, defaultFactor=1.0):
+    """Parse angle values given as strings with units — '0.2 deg',
+    '4 mrad', '250 urad', '10 nrad', '0.004 rad' — into radians
+    (reference _flow_utils.py:74-98).  Plain numbers pass through scaled
+    by *defaultFactor*; None and 'auto' pass through unchanged."""
+    if angle is None or not isinstance(angle, str):
+        if isinstance(angle, (int, float)) and defaultFactor != 1.0:
+            return angle * defaultFactor
+        return angle
+    import math
+    t = angle.strip().lower()
+    if 'auto' in t:
+        return angle
+    if 'mrad' in t:
+        return float(t.split('m')[0]) * 1e-3
+    if 'urad' in t:
+        return float(t.split('u')[0]) * 1e-6
+    if 'nrad' in t:
+        return float(t.split('n')[0]) * 1e-9
+    if 'rad' in t:
+        return float(t.split('r')[0])
+    if 'deg' in t:
+        return math.radians(float(t.split('d')[0]))
+    return float(t) * defaultFactor

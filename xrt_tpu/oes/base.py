@@ -1008,6 +1008,14 @@ class OE(_OEMethods):
                rotationSequence='RzRyRx', extraRotationSequence='RzRyRx',
                order=1, curSurface=0, overEdge='ymax', **kwargs):
         dt = config.dtype()
+        # accept unit strings like '0.2deg' / '4 mrad'
+        # (reference auto_units_angle, _flow_utils.py:74)
+        pitch = config.auto_units_angle(pitch)
+        roll = config.auto_units_angle(roll)
+        yaw = config.auto_units_angle(yaw)
+        positionRoll = config.auto_units_angle(positionRoll)
+        alpha = config.auto_units_angle(alpha)
+        bragg = config.auto_units_angle(bragg)
 
         def arr(v):
             return None if v is None else jnp.asarray(v, dt)
