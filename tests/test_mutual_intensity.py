@@ -1,0 +1,76 @@
+"""Mutual-intensity accumulation through the run loop (fluxKind E*xx/zz,
+E*4D, E*PCA) feeding the coherence analysis."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xrt_tpu.beam import Beam
+from xrt_tpu.plotspec import XYCPlot, XYCAxis
+from xrt_tpu.runner import histogram_plot, _accumulate
+
+
+def _coherent_beam(key, n=4000):
+    """A fully coherent Gaussian field sampled by rays."""
+    kx, kz = jax.random.split(key)
+    x = jax.random.uniform(kx, (n,), jnp.float64, -1.0, 1.0)
+    z = jax.random.uniform(kz, (n,), jnp.float64, -1.0, 1.0)
+    Es = jnp.exp(-x ** 2 - z ** 2) * jnp.exp(1j * 2.0 * x)
+    zero = jnp.zeros_like(x)
+    return Beam(x=x, y=zero, z=z, a=zero, b=jnp.ones_like(x), c=zero,
+                E=jnp.full_like(x, 9000.0),
+                state=jnp.ones_like(x, dtype=jnp.int32), path=zero,
+                Jss=(Es * jnp.conj(Es)).real, Jpp=zero,
+                Jsp=jnp.zeros_like(Es), Es=Es, Ep=jnp.zeros_like(Es))
+
+
+def _plot(fluxKind, bins=16):
+    return XYCPlot(beam='b',
+                   xaxis=XYCAxis('x', 'mm', limits=(-1, 1), bins=bins),
+                   yaxis=XYCAxis('z', 'mm', limits=(-1, 1), bins=bins),
+                   caxis=XYCAxis('energy', 'eV', limits=(8990, 9010),
+                                 bins=bins),
+                   fluxKind=fluxKind)
+
+
+def test_mutual_intensity_xx_fully_coherent():
+    plot = _plot('Esxx')
+    for i in range(3):
+        beams = {'b': _coherent_beam(jax.random.PRNGKey(i))}
+        h = histogram_plot(plot, beams)
+        assert 'J2D' in h
+        _accumulate(plot, h)
+    J = plot.totalJ2D
+    assert J.shape == (16, 16)
+    # hermitian, positive diagonal
+    assert np.allclose(J, J.conj().T)
+    d = np.sqrt(np.abs(np.diag(J)))
+    ok = d > 1e-3 * d.max()
+    # fully coherent single mode: |J(x1,x2)| = d(x1) d(x2)
+    nrm = np.abs(J)[np.ix_(ok, ok)] / np.outer(d[ok], d[ok])
+    # MC sampling noise across repeats: DoC close to but below 1
+    assert np.all(nrm > 0.9) and np.all(nrm < 1.0 + 1e-9)
+    # rank-1: dominant eigenvalue carries everything
+    w = np.linalg.eigvalsh(J)
+    assert w[-1] / w.sum() > 0.98
+
+
+def test_mutual_intensity_4d_and_pca_agree():
+    p4 = _plot('Es4D', bins=8)
+    pp = _plot('EsPCA', bins=8)
+    for i in range(4):
+        beams = {'b': _coherent_beam(jax.random.PRNGKey(10 + i), n=2000)}
+        _accumulate(p4, histogram_plot(p4, beams))
+        _accumulate(pp, histogram_plot(pp, beams))
+    J4 = p4.totalJ4D
+    assert J4.shape == (64, 64)
+    fields = np.stack(pp.fieldsPCA)          # (repeats, 64)
+    Jpca = fields.conj().T @ fields
+    # PCA-accumulated fields reproduce the 4D mutual intensity
+    assert np.allclose(J4, Jpca.conj(), rtol=1e-10) or \
+        np.allclose(J4, Jpca, rtol=1e-10) or \
+        np.allclose(J4, Jpca.T, rtol=1e-10)
+    # coherence module consumes it: single dominant mode
+    from xrt_tpu.coherence import calc_eigen_modes_PCA
+    w, v = calc_eigen_modes_PCA(fields.reshape(-1, 8, 8))[0:2]
+    w = np.abs(np.asarray(w))
+    assert np.max(w) / np.sum(w) > 0.9

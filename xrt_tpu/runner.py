@@ -179,6 +179,32 @@ def histogram_plot(plot: XYCPlot, beams: Dict[str, Beam]):
         intensity=jnp.sum(jnp.abs(flux)),
         counters=counters,
     )
+    # mutual-intensity accumulators for coherence analysis
+    # (multipro.py do_histXXZZ:91, do_hist2d 4D/PCA branches:107-178)
+    fk = plot.fluxKind
+    if fk.startswith('E'):
+        fklow = fk.lower()
+        field = intensity  # complex per-ray field for 'E*' kinds
+        if fklow.endswith('xx') or fklow.endswith('zz') or \
+                fklow.endswith('yy'):
+            axv, bins, lim = (x, plot.xaxis.bins, xlim) \
+                if fklow.endswith('xx') else (y, plot.yaxis.bins, ylim)
+            fs = hist1d(axv, field.real * fmask, bins, lim) + \
+                1j * hist1d(axv, field.imag * fmask, bins, lim)
+            out['J2D'] = jnp.outer(fs, jnp.conj(fs))
+        elif fklow.endswith('4d'):
+            f2 = hist2d(x, y, field.real * fmask, plot.xaxis.bins,
+                        plot.yaxis.bins, xlim, ylim) + \
+                1j * hist2d(x, y, field.imag * fmask, plot.xaxis.bins,
+                            plot.yaxis.bins, xlim, ylim)
+            fvec = f2.ravel()
+            out['J4D'] = jnp.outer(fvec, jnp.conj(fvec))
+        elif fklow.endswith('pca'):
+            f2 = hist2d(x, y, field.real * fmask, plot.xaxis.bins,
+                        plot.yaxis.bins, xlim, ylim) + \
+                1j * hist2d(x, y, field.imag * fmask, plot.xaxis.bins,
+                            plot.yaxis.bins, xlim, ylim)
+            out['fieldPCA'] = f2.ravel()
     return out
 
 
@@ -263,6 +289,18 @@ def _accumulate(plot: XYCPlot, h):
     plot.nRaysAcceptedE += float(c['nRaysAcceptedE'])
     plot.nRaysSeeded += float(c['nRaysSeeded'])
     plot.nRaysSeededI += float(c['nRaysSeededI'])
+    if 'J2D' in h:
+        if not hasattr(plot, 'totalJ2D') or plot.totalJ2D is None:
+            plot.totalJ2D = np.zeros_like(np.asarray(h['J2D']))
+        plot.totalJ2D = plot.totalJ2D + np.asarray(h['J2D'])
+    if 'J4D' in h:
+        if not hasattr(plot, 'totalJ4D') or plot.totalJ4D is None:
+            plot.totalJ4D = np.zeros_like(np.asarray(h['J4D']))
+        plot.totalJ4D = plot.totalJ4D + np.asarray(h['J4D'])
+    if 'fieldPCA' in h:
+        if not hasattr(plot, 'fieldsPCA') or plot.fieldsPCA is None:
+            plot.fieldsPCA = []
+        plot.fieldsPCA.append(np.asarray(h['fieldPCA']))
     plot.repeats += 1
 
 
