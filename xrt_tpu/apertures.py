@@ -16,6 +16,7 @@ import math
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -31,6 +32,11 @@ class _ApertureBase:
     ez: jnp.ndarray = None
     name: str = struct.field(pytree_node=False, default='')
     isBeamStop: bool = struct.field(pytree_node=False, default=False)
+    # smooth-edge width (mm): when set, the blade edges attenuate the flux
+    # with a sigmoid of this width instead of a hard kill — gives useful
+    # gradients of pixel flux w.r.t. aperture/beam parameters
+    # (SURVEY.md section 7, differentiability layer)
+    softEdge: jnp.ndarray = None
 
     @property
     def ey(self):
@@ -38,6 +44,11 @@ class _ApertureBase:
 
     def inside(self, x, z):
         raise NotImplementedError
+
+    def transmission(self, x, z):
+        """Smooth transmission in [0, 1]; defaults to the hard indicator.
+        Subclasses with analytic edge distances override for softEdge."""
+        return self.inside(x, z).astype(x.dtype)
 
     def propagate(self, beam: Beam, needNewGlobal=False):
         """Advance rays to the aperture plane and kill the blocked ones
@@ -60,6 +71,31 @@ class _ApertureBase:
         lz = lz + lc * path
         ly = jnp.where(good, 0.0, ly)
 
+        if self.softEdge is not None:
+            # smooth edges: keep all rays alive, scale the flux by the
+            # sigmoid transmission (differentiable aperture)
+            T = self.transmission(lx, lz)
+            if self.isBeamStop:
+                T = 1.0 - T
+            state = beam.state
+            updates = dict(x=lx, y=ly, z=lz, a=la, b=lb, c=lc, state=state,
+                           path=beam.path + path,
+                           Jss=jnp.where(good, beam.Jss * T, beam.Jss),
+                           Jpp=jnp.where(good, beam.Jpp * T, beam.Jpp),
+                           Jsp=jnp.where(good, beam.Jsp * T, beam.Jsp))
+            if beam.Es is not None:
+                propPhase = jnp.exp(1e7j * (beam.E / CHBAR) * path)
+                amp = jnp.sqrt(jnp.clip(T, 0.0, None))
+                updates['Es'] = jnp.where(good, beam.Es * propPhase * amp,
+                                          beam.Es)
+                updates['Ep'] = jnp.where(good, beam.Ep * propPhase * amp,
+                                          beam.Ep)
+            lo = beam.replace(**updates)
+            if needNewGlobal:
+                glo = self._to_global(lo)
+                return glo, lo
+            return lo
+
         keep = self.inside(lx, lz)
         if self.isBeamStop:
             keep = ~keep
@@ -72,15 +108,19 @@ class _ApertureBase:
             updates['Ep'] = jnp.where(good, beam.Ep * propPhase, beam.Ep)
         lo = beam.replace(**updates)
         if needNewGlobal:
-            gx = self.center[0] + lo.x * ex[0] + lo.y * ey[0] + lo.z * ez[0]
-            gy = self.center[1] + lo.x * ex[1] + lo.y * ey[1] + lo.z * ez[1]
-            gz = self.center[2] + lo.x * ex[2] + lo.y * ey[2] + lo.z * ez[2]
-            ga = lo.a * ex[0] + lo.b * ey[0] + lo.c * ez[0]
-            gb = lo.a * ex[1] + lo.b * ey[1] + lo.c * ez[1]
-            gc = lo.a * ex[2] + lo.b * ey[2] + lo.c * ez[2]
-            glo = lo.replace(x=gx, y=gy, z=gz, a=ga, b=gb, c=gc)
+            glo = self._to_global(lo)
             return glo, lo
         return lo
+
+    def _to_global(self, lo: Beam) -> Beam:
+        ex, ey, ez = self.ex, self.ey, self.ez
+        gx = self.center[0] + lo.x * ex[0] + lo.y * ey[0] + lo.z * ez[0]
+        gy = self.center[1] + lo.x * ex[1] + lo.y * ey[1] + lo.z * ez[1]
+        gz = self.center[2] + lo.x * ex[2] + lo.y * ey[2] + lo.z * ez[2]
+        ga = lo.a * ex[0] + lo.b * ey[0] + lo.c * ez[0]
+        gb = lo.a * ex[1] + lo.b * ey[1] + lo.c * ez[1]
+        gc = lo.a * ex[2] + lo.b * ey[2] + lo.c * ez[2]
+        return lo.replace(x=gx, y=gy, z=gz, a=ga, b=gb, c=gc)
 
 
 def _frame(x, z, dt):
@@ -105,13 +145,15 @@ class RectangularAperture(_ApertureBase):
     def create(cls, name='', center=(0, 0, 0),
                kind=('left', 'right', 'bottom', 'top'),
                opening=(-10, 10, -2, 2), x='auto', z='auto',
-               isBeamStop=False):
+               isBeamStop=False, softEdge=None):
         dt = config.dtype()
         blades = dict(zip(kind, opening))
         ex, ez = _frame(x, z, dt)
         inf = float('inf')
         return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
                    isBeamStop=isBeamStop,
+                   softEdge=None if softEdge is None
+                   else jnp.asarray(softEdge, dt),
                    left=jnp.asarray(blades.get('left', -inf), dt),
                    right=jnp.asarray(blades.get('right', inf), dt),
                    bottom=jnp.asarray(blades.get('bottom', -inf), dt),
@@ -120,6 +162,20 @@ class RectangularAperture(_ApertureBase):
     def inside(self, x, z):
         return (x >= self.left) & (x <= self.right) & \
                (z >= self.bottom) & (z <= self.top)
+
+    def transmission(self, x, z):
+        if self.softEdge is None:
+            return self.inside(x, z).astype(x.dtype)
+        w = self.softEdge
+        big = jnp.asarray(1e30, x.dtype)
+
+        def edge(signed):   # signed distance into the opening
+            return jax.nn.sigmoid(jnp.clip(signed, -big, big) / w)
+        T = edge(x - jnp.maximum(self.left, -big)) * \
+            edge(jnp.minimum(self.right, big) - x) * \
+            edge(z - jnp.maximum(self.bottom, -big)) * \
+            edge(jnp.minimum(self.top, big) - z)
+        return T
 
     @property
     def opening(self):
@@ -141,14 +197,22 @@ class RoundAperture(_ApertureBase):
 
     @classmethod
     def create(cls, name='', center=(0, 0, 0), r=1.0, x='auto', z='auto',
-               isBeamStop=False):
+               isBeamStop=False, softEdge=None):
         dt = config.dtype()
         ex, ez = _frame(x, z, dt)
         return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
-                   isBeamStop=isBeamStop, r=jnp.asarray(r, dt))
+                   isBeamStop=isBeamStop, r=jnp.asarray(r, dt),
+                   softEdge=None if softEdge is None
+                   else jnp.asarray(softEdge, dt))
 
     def inside(self, x, z):
         return x ** 2 + z ** 2 <= self.r ** 2
+
+    def transmission(self, x, z):
+        if self.softEdge is None:
+            return self.inside(x, z).astype(x.dtype)
+        rr = jnp.sqrt(x ** 2 + z ** 2)
+        return jax.nn.sigmoid((self.r - rr) / self.softEdge)
 
 
 def RoundBeamStop(name='', center=(0, 0, 0), r=1.0, x='auto', z='auto'):

@@ -233,74 +233,64 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                nl_ref, w_ref,
                esr, esi, epr, epi, n0, n1, n2,
                o0, o1, o2, o3, o4, o5, o6, o7, o8, o9):
+        # one fori_loop per sublane row keeps only one row's working set
+        # live at a time — a single swapped loop over src chunks with all
+        # sublane rows in flight exceeds the 16MB scoped-VMEM budget
         outs = (o0, o1, o2, o3, o4, o5, o6, o7, o8, o9)
-        cols = []
         for srow in range(sublanes):
-            def col(ref, srow=srow):
+            def col(ref):
                 return ref[srow, :].reshape(-1, 1)
-            cols.append(((col(xdh), col(xdl)), (col(ydh), col(ydl)),
-                         (col(zdh), col(zdl))))
+            xd_t = (col(xdh), col(xdl))
+            yd_t = (col(ydh), col(ydl))
+            zd_t = (col(zdh), col(zdl))
 
-        # single loop over source chunks; the src rows are sliced once per
-        # chunk and reused by all sublane rows (flat carry of
-        # 10*sublanes accumulators)
-        def body(j, acc):
-            def row(ref):
-                return ref[j, :].reshape(1, -1)
-            xs_t = (row(xsh), row(xsl))
-            ys_t = (row(ysh), row(ysl))
-            zs_t = (row(zsh), row(zsl))
-            ka_t = (row(kahr), row(kalr))
-            k_t = (row(kh), row(kl))
-            khr = k_t[0]
-            nlr = row(nl_ref)
-            wr = row(w_ref)
-            esr_c = row(esr)
-            esi_c = row(esi)
-            epr_c = row(epr)
-            epi_c = row(epi)
-            n0r, n1r, n2r = row(n0), row(n1), row(n2)
-            out = []
-            for srow in range(sublanes):
-                xd_t, yd_t, zd_t = cols[srow]
+            def body(j, acc):
+                def row(ref):
+                    return ref[j, :].reshape(1, -1)
+                xs_t = (row(xsh), row(xsl))
+                ys_t = (row(ysh), row(ysl))
+                zs_t = (row(zsh), row(zsl))
                 if phase_mode == 'fast':
+                    ka_t = (row(kahr), row(kalr))
                     phase, r, rinv, a, b, c = _phase_dd_fast(
                         xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t)
                 else:
+                    k_t = (row(kh), row(kl))
                     phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t,
                                                   ys_t, zs_t, k_t)
                     rinv = 1.0 / r
-                ns = (a * n0r + b * n1r + c * n2r) * rinv
-                pre = khr * (1.0 / (4 * PI)) * (nlr + ns) * rinv * wr
+                khr = row(kh)
+                ns = (a * row(n0) + b * row(n1) + c * row(n2)) * rinv
+                pre = khr * (1.0 / (4 * PI)) * (row(nl_ref) + ns) * \
+                    rinv * row(w_ref)
                 cph = jnp.cos(phase)
                 sph = jnp.sin(phase)
                 U_r = -pre * sph
                 U_i = pre * cph
+                esr_c = row(esr)
+                esi_c = row(esi)
+                epr_c = row(epr)
+                epi_c = row(epi)
                 f = khr ** 2 * (1.0 / (4 * PI)) * rinv
                 sE_r = esr_c + epr_c
                 sE_i = esi_c + epi_c
                 g_r = f * (sE_r * U_r - sE_i * U_i)
                 g_i = f * (sE_r * U_i + sE_i * U_r)
-                base = srow * 10
-                out.extend((
-                    acc[base + 0] + jnp.sum(esr_c*U_r - esi_c*U_i, axis=1),
-                    acc[base + 1] + jnp.sum(esr_c*U_i + esi_c*U_r, axis=1),
-                    acc[base + 2] + jnp.sum(epr_c*U_r - epi_c*U_i, axis=1),
-                    acc[base + 3] + jnp.sum(epr_c*U_i + epi_c*U_r, axis=1),
-                    acc[base + 4] + jnp.sum(g_r * a, axis=1),
-                    acc[base + 5] + jnp.sum(g_i * a, axis=1),
-                    acc[base + 6] + jnp.sum(g_r * b, axis=1),
-                    acc[base + 7] + jnp.sum(g_i * b, axis=1),
-                    acc[base + 8] + jnp.sum(g_r * c, axis=1),
-                    acc[base + 9] + jnp.sum(g_i * c, axis=1)))
-            return tuple(out)
+                return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
+                        acc[1] + jnp.sum(esr_c * U_i + esi_c * U_r, axis=1),
+                        acc[2] + jnp.sum(epr_c * U_r - epi_c * U_i, axis=1),
+                        acc[3] + jnp.sum(epr_c * U_i + epi_c * U_r, axis=1),
+                        acc[4] + jnp.sum(g_r * a, axis=1),
+                        acc[5] + jnp.sum(g_i * a, axis=1),
+                        acc[6] + jnp.sum(g_r * b, axis=1),
+                        acc[7] + jnp.sum(g_i * b, axis=1),
+                        acc[8] + jnp.sum(g_r * c, axis=1),
+                        acc[9] + jnp.sum(g_i * c, axis=1))
 
-        init = tuple(jnp.zeros((dst_tile,), f32)
-                     for _ in range(10 * sublanes))
-        acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
-        for srow in range(sublanes):
-            for i, ref in enumerate(outs):
-                ref[srow, :] = acc[srow * 10 + i]
+            init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
+            acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
+            for ref, val in zip(outs, acc):
+                ref[srow, :] = val
 
     grid = (nrows // sublanes,)
     dst_spec = pl.BlockSpec((sublanes, dst_tile), lambda i: (i, 0),
