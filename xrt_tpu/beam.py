@@ -155,6 +155,16 @@ def rotate_coherency_matrix(Jss, Jpp, Jsp, roll):
     return JssN, JppN, JspN
 
 
+def absorb_intensity(outBeam: Beam, inBeam: Beam, sign=1.0) -> Beam:
+    """Coherency matrix of the power ABSORBED at an element: incoming minus
+    outgoing (beams.py:318-322).  Use with fluxKind='power' plots of OE
+    footprints to display absorbed power."""
+    return outBeam.replace(
+        Jss=(inBeam.Jss - outBeam.Jss) * sign,
+        Jpp=(inBeam.Jpp - outBeam.Jpp) * sign,
+        Jsp=(inBeam.Jsp - outBeam.Jsp) * sign)
+
+
 def project_energy_to_band(beam: Beam, EnewMin, EnewMax) -> Beam:
     """Uniformly map the energy array onto a new band (beams.py:331)."""
     EoldMin = jnp.min(beam.E)
