@@ -122,8 +122,10 @@ def _plot_arrays(plot: XYCPlot, beams: Dict[str, Beam]):
             mask = mask | (state < 0)
         else:
             mask = mask | (state == rayFlag)
-    x = get_beam_data(beam, plot.xaxis.data) * plot.xaxis.factor
-    y = get_beam_data(beam, plot.yaxis.data) * plot.yaxis.factor
+    x = (get_beam_data(beam, plot.xaxis.data) - plot.xaxis.offset) * \
+        plot.xaxis.factor
+    y = (get_beam_data(beam, plot.yaxis.data) - plot.yaxis.offset) * \
+        plot.yaxis.factor
     if plot.caxis.useCategory:
         cData = jnp.where(state == 1, HUE_GOOD,
                           jnp.where(state == 2, HUE_OUT,
