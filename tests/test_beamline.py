@@ -121,3 +121,25 @@ def test_normalize_sibling_plots(tmp_path):
     i0 = rgb_image(plots[0]).max()
     i1 = rgb_image(plots[1]).max()
     assert np.isclose(i0, 0.25) and np.isclose(i1, 1.0)
+
+
+def test_cli_info_trace(tmp_path):
+    import numpy as np
+    from xrt_tpu.beamline import BeamLine
+    from xrt_tpu.sources import GeometricSource
+    from xrt_tpu.oes import FlatMirror
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.__main__ import main
+    bl = BeamLine()
+    bl.add('src', GeometricSource.create(nrays=500, dzprime=1e-5,
+                                         energies=(9000.,), distE='lines'))
+    bl.place('m1', FlatMirror, distance=1000.0, pitch=4e-3,
+             limPhysX=(-20, 20), limPhysY=(-200, 200), deflection='up')
+    bl.add('scr', Screen.create(center=(0, 2000.0, 8.0)))
+    jf = str(tmp_path / 'bl.json')
+    bl.export_to_json(jf)
+    assert main(['info', jf]) == 0
+    png = str(tmp_path / 'out.png')
+    assert main(['trace', jf, '--save', png]) == 0
+    import os
+    assert os.path.exists(png)

@@ -1,0 +1,103 @@
+"""Command-line entry: trace a beamline saved as JSON.
+
+    python -m xrt_tpu trace beamline.json [--nrays N] [--repeats R]
+                                          [--save out.png]
+    python -m xrt_tpu info beamline.json
+    python -m xrt_tpu serve beamline.json [--port P]
+
+The JSON layout is the one produced by
+:meth:`xrt_tpu.beamline.BeamLine.export_to_json` (the analog of the
+reference Qook's saved beamlines).  ``serve`` starts the live control
+server (see :mod:`xrt_tpu.server`).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog='python -m xrt_tpu')
+    sub = ap.add_subparsers(dest='cmd', required=True)
+    for c in ('trace', 'info', 'serve'):
+        s = sub.add_parser(c)
+        s.add_argument('beamline', help='beamline JSON file')
+        if c == 'trace':
+            s.add_argument('--repeats', type=int, default=1)
+            s.add_argument('--save', default=None,
+                           help='save the detector image to this file')
+            s.add_argument('--seed', type=int, default=0)
+        if c == 'serve':
+            s.add_argument('--port', type=int, default=0)
+            s.add_argument('--host', default='127.0.0.1')
+    args = ap.parse_args(argv)
+
+    from .beamline import BeamLine
+    bl = BeamLine.load_from_json(args.beamline)
+
+    if args.cmd == 'info':
+        for name, kind, method, _ in bl.flow:
+            el = bl[name]
+            print(f'{name:>16}  {type(el).__name__:<24} .{method}()')
+        return 0
+
+    if args.cmd == 'serve':
+        from .server import BeamLineServer
+        srv = BeamLineServer(
+            bl, trace_fn=lambda elements: _trace_summary(bl),
+            host=args.host, port=args.port).start()
+        print(f'serving beamline on {srv.host}:{srv.port} '
+              '(JSON lines: list/get/set/acquire/shutdown)')
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
+
+    # trace
+    import jax
+    import numpy as np
+    key = jax.random.PRNGKey(args.seed)
+    beams = None
+    for rep in range(args.repeats):
+        key, sub_ = jax.random.split(key)
+        beams = bl.propagate_flow(sub_)
+    last = list(beams)[-1]
+    img = beams[last]
+    good = np.asarray(img.state) == 1
+    I = np.asarray(img.Jss + img.Jpp)
+    print(f"traced; final beam '{last}': {good.sum()} good rays, "
+          f'flux={I[good].sum():.5g}')
+    if good.any():
+        print(f'  x: {np.asarray(img.x)[good].mean():.4g} '
+              f'+- {np.asarray(img.x)[good].std():.4g} mm')
+        print(f'  z: {np.asarray(img.z)[good].mean():.4g} '
+              f'+- {np.asarray(img.z)[good].std():.4g} mm')
+    if args.save:
+        from .plotspec import XYCPlot, XYCAxis
+        from .runner import histogram_plot, _accumulate, calibrate_limits
+        from .plotting import save_plot
+        plot = XYCPlot(beam=last, xaxis=XYCAxis('x', 'mm'),
+                       yaxis=XYCAxis('z', 'mm'),
+                       caxis=XYCAxis('energy', 'eV'))
+        calibrate_limits([plot], beams)
+        _accumulate(plot, histogram_plot(plot, beams))
+        save_plot(plot, args.save)
+        print(f'saved {args.save}')
+    return 0
+
+
+def _trace_summary(bl):
+    import jax
+    import numpy as np
+    beams = bl.propagate_flow(jax.random.PRNGKey(0))
+    last = list(beams)[-1]
+    img = beams[last]
+    good = np.asarray(img.state) == 1
+    I = np.asarray(img.Jss + img.Jpp)
+    return {'beam': last, 'ngood': int(good.sum()),
+            'flux': float(I[good].sum())}
+
+
+if __name__ == '__main__':
+    sys.exit(main())
