@@ -74,3 +74,34 @@ def test_detector_parity_toroid_config():
     rel = np.abs(hn[big] - rn[big]) / rn[big]
     assert np.median(rel) < 0.1
     assert rel.max() < 0.6
+
+
+def test_dcm_parity_energy_band():
+    """Si(111) DCM at fixed Bragg angle vs the reference: transmitted flux
+    fraction and the weighted energy band must match (double-crystal
+    dynamical diffraction end to end)."""
+    gold = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'golden', 'ref_trace_dcm.npz'))
+    from xrt_tpu.oes.dcm import DCM
+    nrays = int(gold['nrays'])
+    thetaB = float(gold['thetaB'])
+    src = GeometricSource.create(
+        nrays=nrays, dx=0.1, dz=0.05, dxprime=1e-5, dzprime=1e-5,
+        distE='flat', energies=(9000.0 - 8, 9000.0 + 8),
+        polarization='horizontal')
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1))
+    dcm = DCM.create(center=(0, 30000.0, 0), material=cr, bragg=thetaB,
+                     fixedOffset=20.0, limPhysX=(-50, 50),
+                     limPhysY=(-500, 500))
+    beam = src.shine(jax.random.PRNGKey(3))
+    glo, _, _ = dcm.double_reflect(beam)
+    good = np.asarray(glo.state) == 1
+    I = np.asarray(glo.Jss + glo.Jpp)[good]
+    E = np.asarray(glo.E)[good]
+    flux_per_ray = I.sum() / nrays
+    ref = float(gold['flux_per_ray'])
+    assert abs(flux_per_ray - ref) / ref < 0.02
+    Em = np.average(E, weights=I)
+    Es = np.sqrt(np.average((E - Em) ** 2, weights=I))
+    assert abs(Em - float(gold['E_mean'])) < 0.05   # eV
+    assert abs(Es - float(gold['E_std'])) / float(gold['E_std']) < 0.03

@@ -54,3 +54,28 @@ np.savez('tests/golden/ref_trace_config1.npz',
          hist=np.histogram2d(x, z, bins=32, range=[[-1, 1], [-1, 1]],
                              weights=I)[0])
 print('saved tests/golden/ref_trace_config1.npz')
+
+# --- DCM parity golden -----------------------------------------------------
+np.random.seed(2)
+bl2 = raycing.BeamLine()
+src2 = rs.GeometricSource(
+    bl2, 'src', (0, 0, 0), nrays=100000, dx=0.1, dz=0.05,
+    dxprime=1e-5, dzprime=1e-5, distE='flat',
+    energies=(E0 - 8, E0 + 8), polarization='horizontal')
+cr = rm.CrystalSi(hkl=(1, 1, 1))
+thetaB = float(cr.get_Bragg_angle(E0) - cr.get_dtheta_symmetric_Bragg(E0))
+dcm = roe.DCM(bl2, 'dcm', center=(0, 30000.0, 0), material=cr,
+              material2=cr, bragg=thetaB,
+              cryst2perpTransl=20.0 / 2 / math.cos(thetaB),
+              limPhysX=(-50, 50), limPhysY=(-500, 500))
+beam2 = src2.shine()
+glo2, _, _ = dcm.double_reflect(beam2)
+good2 = glo2.state == 1
+I2 = (glo2.Jss + glo2.Jpp)[good2]
+E2 = glo2.E[good2]
+Em2 = np.average(E2, weights=I2)
+np.savez('tests/golden/ref_trace_dcm.npz',
+         flux_per_ray=I2.sum() / 100000, E_mean=Em2,
+         E_std=np.sqrt(np.average((E2 - Em2) ** 2, weights=I2)),
+         nrays=100000, thetaB=thetaB)
+print('saved tests/golden/ref_trace_dcm.npz')
