@@ -8,6 +8,9 @@ import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from xrt_tpu.config import select_platform
+select_platform()  # set XRT_TPU_PLATFORM=cpu to run off-TPU
+
 import math
 
 import jax

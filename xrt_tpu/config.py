@@ -64,3 +64,16 @@ def auto_units_angle(angle, defaultFactor=1.0):
     if 'deg' in t:
         return math.radians(float(t.split('d')[0]))
     return float(t) * defaultFactor
+
+
+def select_platform(default=None):
+    """Honor the XRT_TPU_PLATFORM environment variable (e.g. 'cpu',
+    'tpu') — needed on hosts whose sitecustomize pre-imports jax before
+    JAX_PLATFORMS is read.  Call before any jax computation."""
+    import os
+    p = os.environ.get('XRT_TPU_PLATFORM', default)
+    if p:
+        import jax
+        jax.config.update('jax_platforms', p)
+        if p == 'cpu':
+            jax.config.update('jax_enable_x64', True)
