@@ -13,4 +13,17 @@ __version__ = '0.1.0'
 from . import config, physconsts
 from .beam import Beam, new_beam
 
+
+def __getattr__(name):
+    # lazy subpackage access: xrt_tpu.sources, xrt_tpu.oes, ... without
+    # importing the whole stack at package import
+    import importlib
+    if name in ('sources', 'oes', 'materials', 'waves', 'screens',
+                'apertures', 'beamline', 'runner', 'plotspec', 'plotting',
+                'coherence', 'modes', 'parallel', 'figure_error', 'kde',
+                'stages', 'server', 'beamio', 'histogram', 'dummy'):
+        return importlib.import_module('.' + name, __name__)
+    raise AttributeError(name)
+
+
 __all__ = ['config', 'physconsts', 'Beam', 'new_beam', '__version__']

@@ -10,10 +10,11 @@ from .gaussian import (GaussianBeam, LaguerreGaussianBeam,
                        HermiteGaussianBeam, MeshSource, NESWSource,
                        CollimatedMeshSource, hermite_poly,
                        genlaguerre_poly)
+from ..beamio import BeamFromFile
 
 __all__ = ['GeometricSource', 'make_energy', 'polarization_matrix',
            'BendingMagnet', 'Wiggler', 'Undulator', 'SourceFromField',
            'GaussianBeam', 'LaguerreGaussianBeam', 'HermiteGaussianBeam',
            'MeshSource', 'NESWSource', 'CollimatedMeshSource',
            'clenshaw_curtis',
-           'tanaka_kitamura_Qa2']
+           'tanaka_kitamura_Qa2', 'BeamFromFile']
