@@ -84,8 +84,9 @@ def test_phase_fast_matches_phase_exact():
     ka = dd.mul(k[0], k[1], jnp.full(N, dd.INV_TWO_PI_HI),
                 jnp.full(N, dd.INV_TWO_PI_LO))
     ph_e = np.asarray(_phase_dd(xd, yd, zd, xs, ys, zs, k)[0])
-    ph_f, r, rinv, a, b, c = (np.asarray(v) for v in
-                              _phase_dd_fast(xd, yd, zd, xs, ys, zs, ka))
+    cyc, r, rinv, a, b, c = (np.asarray(v) for v in
+                             _phase_dd_fast(xd, yd, zd, xs, ys, zs, ka))
+    ph_f = 2 * np.pi * cyc
     d = np.abs(((ph_f - ph_e + np.pi) % (2 * np.pi)) - np.pi)
     assert d.max() < 0.05  # fast path gives up ~1 bit vs exact
     # geometry outputs agree
@@ -98,3 +99,11 @@ def test_phase_fast_matches_phase_exact():
          np.asarray(zs[0], np.float64) - np.asarray(zs[1], np.float64))**2)
     assert np.allclose(r, r64, rtol=1e-6)
     assert np.allclose(rinv, 1.0 / r64, rtol=1e-6)
+
+
+def test_sincos_cycles_poly():
+    c = jnp.linspace(-0.5, 0.5, 4001)
+    s, co = dd.sincos_cycles(c)
+    x = 2 * np.pi * np.asarray(c)
+    assert np.abs(np.asarray(s) - np.sin(x)).max() < 5e-6
+    assert np.abs(np.asarray(co) - np.cos(x)).max() < 5e-6

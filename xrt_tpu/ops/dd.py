@@ -160,6 +160,41 @@ INV_TWO_PI_HI = np.float32(_INV_TWO_PI_64)
 INV_TWO_PI_LO = np.float32(_INV_TWO_PI_64 - np.float64(INV_TWO_PI_HI))
 
 
+def frac_cycles(m_hi, m_lo):
+    """frac(m) in [-0.5, 0.5] cycles for dd m = phase/(2*pi) — the
+    radian-free variant of :func:`frac_two_pi`, feeding
+    :func:`sincos_cycles` so no further range reduction is ever needed."""
+    n = jnp.round(m_hi)
+    f1 = m_hi - n          # exact
+    n2 = jnp.round(m_lo)
+    f2 = m_lo - n2         # exact
+    c = f1 + f2            # in [-1, 1]
+    return c - jnp.round(c)
+
+
+# minimax-fitted polynomials for sin/cos of 2*pi*c on c in [-0.5, 0.5]
+# (max errors 3e-7 / 2.4e-6 — far below the ~1e-2 rad phase budget)
+_SIN_C = (6.283183465409586, -41.34148025958734, 81.59765524711817,
+          -76.59489967393306, 41.26979637356224, -12.37227202917199)
+_COS_C = (0.999999443415578, -19.73903432200607, 64.93061147431378,
+          -85.29594600637849, 58.91242234401467, -21.28277632550657)
+
+
+def sincos_cycles(c):
+    """(sin, cos) of 2*pi*c for c in [-0.5, 0.5] by degree-11/10
+    polynomials — cheaper than builtin trig, which would redo the range
+    reduction :func:`frac_cycles` already performed."""
+    c2 = c * c
+    s = _SIN_C[5]
+    for k in (4, 3, 2, 1, 0):
+        s = s * c2 + _SIN_C[k]
+    s = s * c
+    co = _COS_C[5]
+    for k in (4, 3, 2, 1, 0):
+        co = co * c2 + _COS_C[k]
+    return s, co
+
+
 def frac_two_pi(m_hi, m_lo):
     """2*pi * frac(m) in [-2pi, 2pi] for dd m = phase/(2*pi).
 

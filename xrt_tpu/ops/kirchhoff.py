@@ -165,8 +165,8 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
     corr = ((s2 - q) + (lo - eq)) / (2.0 * s0)
     mh, me = dd.two_prod(ka_t[0], s0)
     ml = me + ka_t[0] * corr + ka_t[1] * s0
-    phase = dd.frac_two_pi(mh, ml)
-    return phase, s0, 1.0 / s0, dxh, dyh, dzh
+    cyc = dd.frac_cycles(mh, ml)
+    return cyc, s0, 1.0 / s0, dxh, dyh, dzh
 
 
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
@@ -252,19 +252,20 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 zs_t = (row(zsh), row(zsl))
                 if phase_mode == 'fast':
                     ka_t = (row(kahr), row(kalr))
-                    phase, r, rinv, a, b, c = _phase_dd_fast(
+                    cyc, r, rinv, a, b, c = _phase_dd_fast(
                         xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t)
+                    sph, cph = dd.sincos_cycles(cyc)
                 else:
                     k_t = (row(kh), row(kl))
                     phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t,
                                                   ys_t, zs_t, k_t)
                     rinv = 1.0 / r
+                    cph = jnp.cos(phase)
+                    sph = jnp.sin(phase)
                 khr = row(kh)
                 ns = (a * row(n0) + b * row(n1) + c * row(n2)) * rinv
                 pre = khr * (1.0 / (4 * PI)) * (row(nl_ref) + ns) * \
                     rinv * row(w_ref)
-                cph = jnp.cos(phase)
-                sph = jnp.sin(phase)
                 U_r = -pre * sph
                 U_i = pre * cph
                 esr_c = row(esr)
