@@ -40,3 +40,15 @@ def test_catalog_compound():
     E = jnp.asarray([9000.0])
     n = mat.get_refractive_index(E)
     assert 0.9 < float(n.real[0]) < 1.0
+
+
+def test_catalog_attribute_namespaces():
+    from xrt_tpu.materials.catalogs import crystals, elements, compounds
+    si = crystals.Si(hkl=(1, 1, 1))
+    assert abs(float(si.d) - 3.1354) < 1e-3
+    au = elements.Au(kind='mirror')
+    assert abs(float(au.rho) - 19.32) < 0.1
+    assert 'Si' in dir(crystals)
+    import pytest
+    with pytest.raises(AttributeError):
+        crystals.NotACrystal

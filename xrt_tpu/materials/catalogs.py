@@ -73,3 +73,31 @@ def compound(name, kind='auto', **kwargs):
     return Material.create(tuple(d['elements']), tuple(d['quantities']),
                            kind=kind, rho=d['rho'], table=d['table'],
                            name=name, **kwargs)
+
+
+class _CatalogNamespace:
+    """Attribute access into a catalog: ``crystals.Si(hkl=(1,1,1))``,
+    ``elemental.Au(kind='mirror')`` — the ergonomic analog of the
+    reference's generated materials.crystals/elemental/compounds classes."""
+
+    def __init__(self, factory, lister):
+        self._factory = factory
+        self._lister = lister
+
+    def __getattr__(self, name):
+        if name.startswith('_'):
+            raise AttributeError(name)
+        avail = self._lister()
+        if name not in avail:
+            raise AttributeError(
+                f'{name!r} not in catalog; available: {sorted(avail)[:8]}...')
+        import functools
+        return functools.partial(self._factory, name)
+
+    def __dir__(self):
+        return sorted(self._lister())
+
+
+crystals = _CatalogNamespace(crystal, list_crystals)
+elements = _CatalogNamespace(elemental, list_elemental)
+compounds = _CatalogNamespace(compound, list_compounds)
