@@ -170,7 +170,7 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
 
 
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                              weights, dst_tile=128, src_chunk=512,
+                              weights, dst_tile=128, src_chunk=1024,
                               sublanes=8, phase_mode='fast'):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
     points per program), fori_loop over source chunks, the dd-phase math of
