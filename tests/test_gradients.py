@@ -117,3 +117,24 @@ def test_grad_wrt_source_divergence():
           float(spot_var(jnp.asarray(1.0 - h)))) / (2 * h)
     assert np.isfinite(g)
     assert np.isclose(g, fd, rtol=0.05)
+
+
+def test_aperture_touch_beam_and_divergence():
+    from xrt_tpu.apertures import RectangularAperture
+    src = GeometricSource.create(nrays=2000, dx=0.0, dz=0.0,
+                                 distx=None, distz=None,
+                                 dxprime=1e-4, dzprime=5e-5,
+                                 energies=(E0,), distE='lines')
+    beam = src.shine(jax.random.PRNGKey(9))
+    slit = RectangularAperture.create(center=(0, 1000.0, 0),
+                                      opening=(-10, 10, -10, 10))
+    fitted = slit.touch_beam(beam)
+    # blades hug the +-~3.5-sigma beam: ~0.35 mm in x, ~0.175 in z
+    assert 0.2 < -float(fitted.left) < 0.6
+    assert 0.2 < float(fitted.right) < 0.6
+    assert 0.1 < float(fitted.top) < 0.3
+    # divergence round-trip
+    div = fitted.get_divergence(src)
+    back = fitted.set_divergence(src, div)
+    assert np.isclose(float(back.left), float(fitted.left), atol=1e-6)
+    assert np.isclose(float(back.top), float(fitted.top), atol=1e-6)

@@ -181,6 +181,59 @@ class RectangularAperture(_ApertureBase):
     def opening(self):
         return [self.left, self.right, self.bottom, self.top]
 
+    def get_divergence(self, source):
+        """Angular openings given the blade positions and the distance to
+        *source* (apertures.py:307-315)."""
+        d = float(np.linalg.norm(np.asarray(self.center) -
+                                 np.asarray(source.center)))
+        return [float(v) / d for v in (self.left, self.right,
+                                       self.bottom, self.top)]
+
+    def set_divergence(self, source, divergence):
+        """A copy with blades set from the angular openings
+        (left, right, bottom, top) (apertures.py:317-331)."""
+        import jax.numpy as _jnp
+        d = float(np.linalg.norm(np.asarray(self.center) -
+                                 np.asarray(source.center)))
+        dt = self.left.dtype
+        eps = 1e-9
+        vals = [dv * d + (eps if dv > 0 else -eps) for dv in divergence]
+        return self.replace(left=_jnp.asarray(vals[0], dt),
+                            right=_jnp.asarray(vals[1], dt),
+                            bottom=_jnp.asarray(vals[2], dt),
+                            top=_jnp.asarray(vals[3], dt))
+
+    def touch_beam(self, beam: Beam):
+        """A copy of this aperture with the blades moved to just touch the
+        *beam* footprint on the aperture plane (apertures.py:415-444).
+        Host-side helper (returns a new immutable aperture)."""
+        good = np.asarray((beam.state == 1) | (beam.state == 2))
+        ex, ey, ez = (np.asarray(v) for v in (self.ex, self.ey, self.ez))
+        c = np.asarray(self.center)
+        dx = np.asarray(beam.x) - c[0]
+        dy = np.asarray(beam.y) - c[1]
+        dz = np.asarray(beam.z) - c[2]
+        lx = dx * ex[0] + dy * ex[1] + dz * ex[2]
+        ly = dx * ey[0] + dy * ey[1] + dz * ey[2]
+        lz = dx * ez[0] + dy * ez[1] + dz * ez[2]
+        la = (np.asarray(beam.a) * ex[0] + np.asarray(beam.b) * ex[1] +
+              np.asarray(beam.c) * ex[2])
+        lb = (np.asarray(beam.a) * ey[0] + np.asarray(beam.b) * ey[1] +
+              np.asarray(beam.c) * ey[2])
+        lc = (np.asarray(beam.a) * ez[0] + np.asarray(beam.b) * ez[1] +
+              np.asarray(beam.c) * ez[2])
+        t = -ly / np.where(lb == 0, 1.0, lb)
+        x_at = (lx + la * t)[good]
+        z_at = (lz + lc * t)[good]
+        if x_at.size == 0:
+            return self
+        import jax.numpy as _jnp
+        dt = self.left.dtype
+        return self.replace(left=_jnp.asarray(x_at.min(), dt),
+                            right=_jnp.asarray(x_at.max(), dt),
+                            bottom=_jnp.asarray(z_at.min(), dt),
+                            top=_jnp.asarray(z_at.max(), dt))
+
 
 def RectangularBeamStop(name='', center=(0, 0, 0),
                         kind=('left', 'right', 'bottom', 'top'),
