@@ -161,12 +161,13 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
     lo = t1 + t2 + e1 + e2 + e3 + 2.0 * (dxh * dxl + dyh * dyl +
                                          dzh * dzl)
     s0 = jnp.sqrt(s2)
+    rinv = 1.0 / s0                     # single reciprocal, reused
     q, eq = dd.two_prod(s0, s0)
-    corr = ((s2 - q) + (lo - eq)) / (2.0 * s0)
+    corr = ((s2 - q) + (lo - eq)) * (0.5 * rinv)
     mh, me = dd.two_prod(ka_t[0], s0)
     ml = me + ka_t[0] * corr + ka_t[1] * s0
     cyc = dd.frac_cycles(mh, ml)
-    return cyc, s0, 1.0 / s0, dxh, dyh, dzh
+    return cyc, s0, rinv, dxh, dyh, dzh
 
 
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
@@ -215,23 +216,35 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         return padto(v, npad_s).reshape(nsrc_chunks, src_chunk)
 
     # kappa = k/(2*pi) in dd, precomputed per source sample for the fast
-    # frac-based phase reduction
+    # frac-based phase reduction; amplitude prefactors folded per-source
+    # (hoisted out of the O(Ndst x Nsrc) pair loop):
+    #   kw   = k*w/(4*pi);  kwnl = kw*nl;  k2 = k^2/(4*pi)
     kah, kal = dd.mul(k[0], k[1], jnp.full_like(k[0], dd.INV_TWO_PI_HI),
                       jnp.full_like(k[0], dd.INV_TWO_PI_LO))
+    kw = k[0] * weights * (1.0 / (4 * PI))
+    kwnl = kw * nl
+    k2 = k[0] ** 2 * (1.0 / (4 * PI))
+    esr0 = Es.real.astype(f32)
+    esi0 = Es.imag.astype(f32)
+    epr0 = Ep.real.astype(f32)
+    epi0 = Ep.imag.astype(f32)
+    if phase_mode == 'fast':
+        kphase = (kah, kal)
+    else:
+        kphase = (k[0], k[1])
     srcs = [prep_s(v) for v in (
-        xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], k[0], k[1], kah, kal,
-        nl, weights,
-        Es.real.astype(f32), Es.imag.astype(f32),
-        Ep.real.astype(f32), Ep.imag.astype(f32),
+        xs[0], xs[1], ys[0], ys[1], zs[0], zs[1], kphase[0], kphase[1],
+        kwnl, kw, k2,
+        esr0, esi0, epr0, epi0, esr0 + epr0, esi0 + epi0,
         jnp.broadcast_to(n[0], (Ns,)).astype(f32),
         jnp.broadcast_to(n[1], (Ns,)).astype(f32),
         jnp.broadcast_to(n[2], (Ns,)).astype(f32))]
     dsts = [prep_d(v) for v in (xd[0], xd[1], yd[0], yd[1], zd[0], zd[1])]
 
     def kernel(xdh, xdl, ydh, ydl, zdh, zdl,
-               xsh, xsl, ysh, ysl, zsh, zsl, kh, kl, kahr, kalr,
-               nl_ref, w_ref,
-               esr, esi, epr, epi, n0, n1, n2,
+               xsh, xsl, ysh, ysl, zsh, zsl, kp0, kp1,
+               kwnl_ref, kw_ref, k2_ref,
+               esr, esi, epr, epi, ser, sei, n0, n1, n2,
                o0, o1, o2, o3, o4, o5, o6, o7, o8, o9):
         # one fori_loop per sublane row keeps only one row's working set
         # live at a time — a single swapped loop over src chunks with all
@@ -250,31 +263,29 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 xs_t = (row(xsh), row(xsl))
                 ys_t = (row(ysh), row(ysl))
                 zs_t = (row(zsh), row(zsl))
+                k_t = (row(kp0), row(kp1))
                 if phase_mode == 'fast':
-                    ka_t = (row(kahr), row(kalr))
                     cyc, r, rinv, a, b, c = _phase_dd_fast(
-                        xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t)
+                        xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, k_t)
                     sph, cph = dd.sincos_cycles(cyc)
                 else:
-                    k_t = (row(kh), row(kl))
                     phase, r, a, b, c = _phase_dd(xd_t, yd_t, zd_t, xs_t,
                                                   ys_t, zs_t, k_t)
                     rinv = 1.0 / r
                     cph = jnp.cos(phase)
                     sph = jnp.sin(phase)
-                khr = row(kh)
-                ns = (a * row(n0) + b * row(n1) + c * row(n2)) * rinv
-                pre = khr * (1.0 / (4 * PI)) * (row(nl_ref) + ns) * \
-                    rinv * row(w_ref)
+                nsk = (a * row(n0) + b * row(n1) + c * row(n2)) * \
+                    (rinv * row(kw_ref))
+                pre = (row(kwnl_ref) + nsk) * rinv
                 U_r = -pre * sph
                 U_i = pre * cph
                 esr_c = row(esr)
                 esi_c = row(esi)
                 epr_c = row(epr)
                 epi_c = row(epi)
-                f = khr ** 2 * (1.0 / (4 * PI)) * rinv
-                sE_r = esr_c + epr_c
-                sE_i = esi_c + epi_c
+                f = row(k2_ref) * rinv
+                sE_r = row(ser)
+                sE_i = row(sei)
                 g_r = f * (sE_r * U_r - sE_i * U_i)
                 g_i = f * (sE_r * U_i + sE_i * U_r)
                 return (acc[0] + jnp.sum(esr_c * U_r - esi_c * U_i, axis=1),
@@ -300,7 +311,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[dst_spec] * 6 + [src_spec] * 19,
+        in_specs=[dst_spec] * 6 + [src_spec] * 20,
         out_specs=tuple([dst_spec] * 10),
         out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
                         for _ in range(10)),
