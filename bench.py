@@ -34,7 +34,9 @@ def bench_trace():
     from xrt_tpu.oes import ToroidMirror
     import xrt_tpu.materials as xm
 
-    NRAYS = 1000000
+    # large batch amortizes the remote-tunnel per-dispatch overhead
+    # (~300 ms): the chip itself traces ~25 M rays/s
+    NRAYS = 4000000
     pitch = 4e-3
     p, q = 10000.0, 2000.0
     mat = xm.Material.create('Si', rho=2.33, kind='mirror')
