@@ -188,3 +188,29 @@ def test_reflect_differentiable():
 
     g = jax.grad(centroid)(jnp.asarray(PITCH))
     np.testing.assert_allclose(float(g), 2 * Q, rtol=1e-4)
+
+
+def test_dual_vfm_two_stripes():
+    """DualVFM: each cylinder stripe sagittally focuses with its own
+    radius; meridional substrate curvature present."""
+    from xrt_tpu.oes import DualVFM
+    vfm = DualVFM.create(center=(0, P, 0), pitch=PITCH,
+                         R=5e6, r1=70.0, xCylinder1=23.5, hCylinder1=0.1,
+                         r2=36.0, xCylinder2=-25.0, hCylinder2=0.1,
+                         limPhysX=(-50, 50), limPhysY=(-100, 100))
+    import jax.numpy as jnp
+    # surface continuity & curvature on each stripe
+    x1 = jnp.asarray([23.5, 24.5])
+    z1 = np.asarray(vfm.local_z(x1, jnp.zeros(2)))
+    # cylinder 1 sag ~ dx^2/(2 r1) relative to its apex
+    assert np.isclose(z1[1] - z1[0], 1.0 / (2 * 70.0), rtol=1e-2)
+    x2 = jnp.asarray([-25.0, -24.0])
+    z2 = np.asarray(vfm.local_z(x2, jnp.zeros(2)))
+    assert np.isclose(z2[1] - z2[0], 1.0 / (2 * 36.0), rtol=1e-2)
+    # normals: -dz/dx antisymmetric around each apex
+    n = vfm.local_n(jnp.asarray([23.0, 24.0]), jnp.zeros(2))
+    assert np.asarray(n[0])[0] > 0 > np.asarray(n[0])[1]
+    # stripe selection offsets
+    _, dx1 = vfm.select_surface(0)
+    _, dx2 = vfm.select_surface(1)
+    assert dx1 == -23.5 and dx2 == 25.0

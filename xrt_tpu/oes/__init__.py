@@ -22,7 +22,7 @@ from .laue import (LauePlate, BentLaueCylinder, GroundBentLaueCylinder,
                    BentLaueSphere, BentLaue2D)
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
-                      SimpleVCM, VCM, SimpleVFM, VFM,
+                      SimpleVCM, VCM, SimpleVFM, VFM, DualVFM,
                       rmer_from_coddington, rsag_from_coddington)
 from .mesh3d import MeshOE, read_stl
 
@@ -41,6 +41,6 @@ __all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
            'EllipsoidCapillaryMirror', 'ParaboloidCapillaryMirror',
            'HyperboloidCapillaryMirror', 'FlatMirror', 'BentFlatMirror',
            'SphericalMirror', 'ToroidMirror', 'CylindricalMirror',
-           'ConicalMirror', 'SimpleVCM', 'VCM', 'SimpleVFM', 'VFM',
+           'ConicalMirror', 'SimpleVCM', 'VCM', 'SimpleVFM', 'VFM', 'DualVFM',
            'rmer_from_coddington', 'rsag_from_coddington',
            'MeshOE', 'read_stl']

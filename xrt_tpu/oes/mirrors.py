@@ -135,6 +135,72 @@ VFM = ToroidMirror
 
 
 @struct.dataclass
+class DualVFM(OE):
+    """Vertically focusing mirror with TWO sagittal cylinders side by side
+    on a meridionally bent (parabolic, fixed-end) substrate
+    (oes/__init__.py:477-585).  ``curSurface``/``select_surface`` picks the
+    active stripe; *xCylinder1/2* are the cylinder axis x positions,
+    *hCylinder1/2* the sag depths under the flat reference."""
+    R: jnp.ndarray = None
+    r1: jnp.ndarray = None
+    r2: jnp.ndarray = None
+    xCylinder1: jnp.ndarray = None
+    hCylinder1: jnp.ndarray = None
+    xCylinder2: jnp.ndarray = None
+    hCylinder2: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, R=5.0e6, r1=70.0, xCylinder1=23.5, hCylinder1=3.7035,
+               r2=35.98, xCylinder2=-25.0, hCylinder2=6.9504, **kwargs):
+        dt = config.dtype()
+        return super(DualVFM, cls).create(
+            R=jnp.asarray(R, dt), r1=jnp.asarray(r1, dt),
+            r2=jnp.asarray(r2, dt),
+            xCylinder1=jnp.asarray(xCylinder1, dt),
+            hCylinder1=jnp.asarray(hCylinder1, dt),
+            xCylinder2=jnp.asarray(xCylinder2, dt),
+            hCylinder2=jnp.asarray(hCylinder2, dt), **kwargs)
+
+    def _cyl(self, x):
+        """(z_cyl, -dz/dx) of the two-cylinder cross profile, clipped to
+        z<=0 like the reference."""
+        t2 = self.r2 ** 2 - (x - self.xCylinder2) ** 2
+        t1 = self.r1 ** 2 - (x - self.xCylinder1) ** 2
+        s2 = jnp.sqrt(jnp.clip(t2, 1e-30, None))
+        s1 = jnp.sqrt(jnp.clip(t1, 1e-30, None))
+        z2 = jnp.where(t2 > 0, self.r2 - self.hCylinder2 - s2, 0.0)
+        z1 = jnp.where(t1 > 0, self.r1 - self.hCylinder1 - s1, 0.0)
+        a2 = jnp.where(t2 > 0, -(x - self.xCylinder2) / s2, 0.0)
+        a1 = jnp.where(t1 > 0, -(x - self.xCylinder1) / s1, 0.0)
+        neg = x < 0
+        z = jnp.where(neg, z2, z1)
+        a = jnp.where(neg, a2, a1)
+        a = jnp.where(z > 0, 0.0, a)
+        z = jnp.minimum(z, 0.0)
+        return z, a
+
+    def local_z(self, x, y):
+        z, _ = self._cyl(x)
+        return z + (y ** 2 - self.limPhysY[0] ** 2) / 2.0 / self.R
+
+    def local_n(self, x, y):
+        _, a = self._cyl(x)
+        b = -y / self.R
+        norm = jnp.sqrt(a ** 2 + b ** 2 + 1.0)
+        return [a / norm, b / norm, 1.0 / norm]
+
+    def select_surface(self, surfaceName_or_index):
+        """dx offset that centers the chosen cylinder in the beam
+        (oes/__init__.py:573-585); returns (new OE with curSurface set,
+        dx)."""
+        idx = surfaceName_or_index
+        if not isinstance(idx, int):
+            idx = 0 if str(idx).endswith('1') else 1
+        dx = float(-self.xCylinder1 if idx == 0 else -self.xCylinder2)
+        return self.replace(curSurface=idx), dx
+
+
+@struct.dataclass
 class CylindricalMirror(OE):
     """Sagittal cylinder of radius r (round pipe along y):
     z = r - sqrt(r^2 - x^2)."""
