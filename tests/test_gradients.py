@@ -138,3 +138,17 @@ def test_aperture_touch_beam_and_divergence():
     back = fitted.set_divergence(src, div)
     assert np.isclose(float(back.left), float(fitted.left), atol=1e-6)
     assert np.isclose(float(back.top), float(fitted.top), atol=1e-6)
+
+
+def test_aperture_set_on_z_actuator():
+    from xrt_tpu.apertures import SetOfRectangularAperturesOnZActuator
+    st = SetOfRectangularAperturesOnZActuator(
+        center=(0, 1000.0, 0),
+        apertures=['small', 'big', 'top-edge'],
+        centerZs=[0.0, 5.0, 10.0], dXs=[1.0, 4.0], dZs=[0.5, 2.0])
+    ap = st.select_aperture('small')
+    assert np.isclose(float(ap.top) - float(ap.bottom), 0.5)
+    ap2 = st.select_aperture('big', targetZ=1000.0 * 0 + 5.0)
+    assert np.isclose(float(ap2.right), 2.0)
+    edge = st.select_aperture('top-edge', targetZ=3.0)
+    assert np.isinf(float(edge.bottom)) and float(edge.top) == 3.0

@@ -402,3 +402,47 @@ class SiemensStar(_ApertureBase):
             phi = phi + self.vortex * jnp.log(jnp.maximum(rho, 1e-12))
         spoke = jnp.sin(self.nSpokes * phi) > 0
         return (rho <= self.r) & ~spoke
+
+
+class SetOfRectangularAperturesOnZActuator:
+    """A set of coplanar named openings on a vertical actuator
+    (apertures.py:555-651).  Host-side selector: ``select_aperture`` moves
+    the actuator and returns the corresponding
+    :class:`RectangularAperture` (or an edge half-plane for the final
+    'top-edge'/'bottom-edge' entry)."""
+
+    def __init__(self, center, apertures, centerZs, dXs, dZs,
+                 x='auto', z='auto'):
+        self.center = tuple(float(v) for v in center)
+        self.apertures = list(apertures)
+        self.centerZs = list(centerZs)
+        self.dXs = list(dXs)
+        self.dZs = list(dZs)
+        self.x = x
+        self.z = z
+        self.curAperture = 0
+        self.zActuator = self.center[2]
+
+    def select_aperture(self, apertureName, targetZ=None):
+        """Pick *apertureName*; the actuator moves so that its window is
+        centered at *targetZ* (defaults to the window's nominal z).
+        Returns the configured RectangularAperture."""
+        ca = self.apertures.index(apertureName)
+        self.curAperture = ca
+        cz = self.centerZs[ca]
+        if targetZ is None:
+            targetZ = self.center[2] + cz
+        self.zActuator = targetZ - cz
+        dzAct = self.zActuator - self.center[2]
+        inf = float('inf')
+        if ca < len(self.apertures) - 1:
+            dx = self.dXs[ca] * 0.5
+            dz = self.dZs[ca] * 0.5
+            opening = (-dx, dx, cz + dzAct - dz, cz + dzAct + dz)
+        elif self.apertures[-1].startswith('top'):
+            opening = (-inf, inf, -inf, cz + dzAct)
+        else:
+            opening = (-inf, inf, cz + dzAct, inf)
+        return RectangularAperture.create(
+            name=apertureName, center=self.center, opening=opening,
+            x=self.x, z=self.z)
