@@ -282,6 +282,10 @@ class _CrystalMethods:
             c1, c2, ir1, alphaAsym=alphaAsym, nsteps=nsteps,
             autoLimits=autoLimits)
 
+    # the reference also exposes an in-house TT solver under this name
+    # (crystal.py:901); both map to the same integration here
+    get_amplitude_TT = get_amplitude_pytte
+
 
 @struct.dataclass
 class Crystal(_CrystalMethods, Material):
