@@ -36,8 +36,11 @@ class Material:
     kind: str = struct.field(pytree_node=False, default='auto')
     name: str = struct.field(pytree_node=False, default='')
     table: str = struct.field(pytree_node=False, default='Chantler total')
-    # constant (energy-independent) refractive index override, or None
+    # constant (energy-independent) refractive index override, or None;
+    # tabulated override: (nE,) energy grid + complex n values
     refractiveIndex: Optional[jnp.ndarray] = None
+    riE: Optional[jnp.ndarray] = None
+    riN: Optional[jnp.ndarray] = None
     # grating efficiency: static orders tuple + per-order efficiency;
     # either constant values (efficiency_E is None) or energy tables
     # (material.py:26-27, 78-98, get_grating_efficiency:391)
@@ -46,9 +49,38 @@ class Material:
     efficiency_I: Optional[jnp.ndarray] = None   # (n_orders,) or (n_orders, nE)
     efficiency_E: Optional[jnp.ndarray] = None   # (nE,) or None
 
+    @staticmethod
+    def read_ri_file(fname):
+        """Tabulated refractive index file (e.g. refractiveindex.info CSV
+        with sparse k column, material.py:284-331).  Returns (E [eV],
+        complex n) numpy arrays."""
+        import numpy as np
+        En, Ek, n, k = [], [], [], []
+        with open(fname) as f:
+            for li in f:
+                fields = li.split(',')
+                try:
+                    float(fields[0])
+                except ValueError:
+                    continue
+                if len(fields) < 3:
+                    En.append(float(fields[0]))
+                    n.append(float(fields[-1]))
+                else:
+                    Ek.append(float(fields[0]))
+                    k.append(float(fields[-1]))
+                    if len(fields[1].strip()) > 0:
+                        En.append(float(fields[0]))
+                        n.append(float(fields[1]))
+        En = np.asarray(En)
+        kk = np.interp(En, np.asarray(Ek), np.asarray(k)) if Ek else \
+            np.zeros_like(En)
+        return En, np.asarray(n) + 1j * kk
+
     @classmethod
     def create(cls, elements, quantities=None, kind='auto', rho=0.0, t=None,
                table='Chantler total', name='', refractiveIndex=None,
+               refractiveIndexFile=None,
                efficiency=None, efficiencyFile=None):
         from .. import config
         dt = config.dtype()
@@ -61,6 +93,11 @@ class Material:
             name = ''.join(el.name for el in els)
         ri = None if refractiveIndex is None else jnp.asarray(
             refractiveIndex, config.cdtype())
+        riE = riN = None
+        if refractiveIndexFile is not None:
+            E_tab, n_tab = cls.read_ri_file(refractiveIndexFile)
+            riE = jnp.asarray(E_tab, dt)
+            riN = jnp.asarray(n_tab, config.cdtype())
         eff_orders = ()
         eff_I = eff_E = None
         if efficiency is not None:
@@ -80,6 +117,7 @@ class Material:
                    rho=jnp.asarray(rho, dt),
                    t=None if t is None else jnp.asarray(t, dt),
                    kind=kind, name=name, table=table, refractiveIndex=ri,
+                   riE=riE, riN=riN,
                    efficiency_orders=eff_orders, efficiency_I=eff_I,
                    efficiency_E=eff_E)
 
@@ -116,6 +154,11 @@ class Material:
         if self.refractiveIndex is not None:
             return jnp.broadcast_to(self.refractiveIndex,
                                     jnp.shape(E))
+        if self.riE is not None:
+            E = jnp.asarray(E)
+            nr = jnp.interp(E, self.riE, self.riN.real)
+            ni = jnp.interp(E, self.riE, self.riN.imag)
+            return nr + 1j * ni
         E = jnp.asarray(E)
         xf = jnp.zeros(E.shape, jnp.result_type(jnp.asarray(1j),
                                                 E.dtype))
