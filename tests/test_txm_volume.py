@@ -116,3 +116,43 @@ def test_h5_roundtrip(tmp_path):
     idx = np.asarray(txm.get_material_indices(
         jnp.zeros(2), jnp.zeros(2), jnp.asarray([0.01, 0.04])))
     assert list(idx) == [0, 1]
+
+
+def test_txm_through_plate_e2e():
+    """A Plate carrying a TXM voxel material attenuates each ray by its
+    chord.  Material-frame contract: entry surface at z=0, beam along +z,
+    sample z in [0, t]; the Plate's exit-frame coordinates are mapped back
+    internally (oes/base.py TXM branch)."""
+    import math
+    import jax
+    from xrt_tpu.oes import Plate
+    from xrt_tpu.sources.geometric import GeometricSource
+    water, gold = _mats()
+    grid = np.zeros((8, 8, 8), np.uint8)
+    grid[:, :, 4:] = 1  # material x > 0 is gold (axis order z,y,x)
+    lim = {'x': (-1.0, 1.0), 'y': (-1.0, 1.0), 'z': (0.0, 0.1)}
+    txm = TXMMaterial.create(indexGrid=grid, limits=lim,
+                             materialsIndex=(water, gold))
+    plate = Plate.create(center=(0, 1000.0, 0), pitch=math.pi / 2,
+                         material=txm, t=0.1,
+                         limPhysX=(-2, 2), limPhysY=(-2, 2))
+    src = GeometricSource.create(nrays=1000, distx='flat', dx=1.6,
+                                 distz='flat', dz=0.5,
+                                 distxprime=None, distzprime=None,
+                                 dxprime=0.0, dzprime=0.0,
+                                 energies=(9000.0,), distE='lines')
+    beam = src.shine(jax.random.PRNGKey(0))
+    glo, l1, l2 = plate.double_refract(beam)
+    good = np.asarray(glo.state) == 1
+    assert good.mean() > 0.9
+    I = np.asarray(glo.Jss + glo.Jpp)
+    x0 = np.asarray(beam.x)
+    water_side = good & (x0 < -0.1)
+    gold_side = good & (x0 > 0.1)
+    assert water_side.sum() > 100 and gold_side.sum() > 100
+    mu_w = float(np.asarray(water.get_absorption_coefficient(9000.0)))
+    mu_g = float(np.asarray(gold.get_absorption_coefficient(9000.0)))
+    T_w = np.exp(-mu_w * 0.1 * 0.1)  # t=0.1 mm = 0.01 cm
+    T_g = np.exp(-mu_g * 0.1 * 0.1)
+    assert np.allclose(I[water_side], T_w, rtol=1e-6)
+    assert np.allclose(I[gold_side], T_g, rtol=1e-5)

@@ -598,7 +598,7 @@ class _OEMethods:
         lb = lb.replace(path=jnp.where(goodN, lb.path + t, lb.path))
 
         lb = self._interact(lb, goodN, key, roll, fromVacuum, t, material,
-                            local_n)
+                            local_n, is2ndXtal=is2ndXtal)
         if isParam:
             # back to cartesian; keep the parametric impact coordinates
             # (cf. reflect.py:1112-1117)
@@ -630,7 +630,7 @@ class _OEMethods:
 
     # ---- the physics at the surface --------------------------------------
     def _interact(self, lb, goodN, key, roll, fromVacuum, tMax, material,
-                  local_n=None):
+                  local_n=None, is2ndXtal=False):
         """Direction update + reflectivity/transmittivity + polarization
         bookkeeping for rays with state==1 (cf. reflect.py:713-1110)."""
         if local_n is None:
@@ -855,14 +855,26 @@ class _OEMethods:
             # TXM voxel volume: on exit integrate mu and phase along the
             # chord from the entry point (volume.py:410-431); local
             # positions here are at the current (exit) surface
+            # material-frame convention: entry surface at z=0, beam along
+            # +z, sample z in [0, t].  The exit (2nd-surface) frame of a
+            # Plate/DCM relates by (x, y, z) -> (-x, y, z + t)
+            # (rotate_beam roll=pi at _reflect_local:502 plus the
+            # perpendicular translation)
+            tm = getattr(self, 't', None)   # the plate's thickness
+            if tm is None:
+                tm = getattr(matSur, 't', None)
+            tshift = 0.0 if (tm is None or not is2ndXtal) else tm
+            sx = -1.0 if is2ndXtal else 1.0
             if fromVacuum:
-                res = matSur.get_amplitude(lb.E, beamInDotNormal,
-                                           fromVacuum, lb.x, lb.y, lb.z)
+                res = matSur.get_amplitude(
+                    lb.E, beamInDotNormal, fromVacuum,
+                    sx * lb.x, lb.y, lb.z + tshift)
             else:
                 res = matSur.get_amplitude(
                     lb.E, beamInDotNormal, fromVacuum,
-                    lb.x - lb.a * tMax, lb.y - lb.b * tMax,
-                    lb.z - lb.c * tMax, lb.a, lb.b, lb.c, tMax)
+                    sx * (lb.x - lb.a * tMax), lb.y - lb.b * tMax,
+                    (lb.z - lb.c * tMax) + tshift,
+                    sx * lb.a, lb.b, lb.c, tMax)
             ras, rap, mu, nreal = res
         else:
             res = matSur.get_amplitude(lb.E, beamInDotNormal, fromVacuum)
