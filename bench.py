@@ -113,7 +113,8 @@ def bench_kirchhoff():
     from xrt_tpu.ops import dd
     from xrt_tpu.ops.kirchhoff import kirchhoff_integral_pallas
 
-    Ns, Nd = 100000, 20000
+    # ~6e9 pairs per call so the kernel time dominates remote dispatch
+    Ns, Nd = 100000, 60000
     rng = np.random.RandomState(0)
     t = lambda a: tuple(map(jnp.asarray, dd.from_f64(a)))
 
