@@ -143,3 +143,48 @@ def test_cli_info_trace(tmp_path):
     assert main(['trace', jf, '--save', png]) == 0
     import os
     assert os.path.exists(png)
+
+
+def test_runner_generator_scan(tmp_path):
+    """Parametric scan via the generator protocol: the mirror pitch is
+    changed between scan points and each point gets its own plot."""
+    import math
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.sources import GeometricSource
+    from xrt_tpu.oes import FlatMirror
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.plotspec import XYCPlot, XYCAxis
+    from xrt_tpu.runner import run_ray_tracing
+    src = GeometricSource.create(nrays=2000, dzprime=1e-5,
+                                 energies=(9000.,), distE='lines')
+    screen = Screen.create(center=(0, 2000.0, 0))
+    state = {'mirror': None, 'plots': [], 'centers': []}
+    plot = XYCPlot(beam='screen',
+                   xaxis=XYCAxis('x', 'mm', limits=(-2, 2)),
+                   yaxis=XYCAxis('z', 'mm', limits=(-1, 20)),
+                   caxis=XYCAxis('energy', 'eV', limits=(8990, 9010)))
+
+    def run_process(bl, key):
+        beam = src.shine(key)
+        glo, _ = state['mirror'].reflect(beam)
+        return {'screen': screen.expose(glo)}
+
+    def scan():
+        for pitch in (2e-3, 4e-3, 6e-3):
+            state['mirror'] = FlatMirror.create(
+                center=(0, 1000.0, 0), pitch=pitch,
+                limPhysX=(-30, 30), limPhysY=(-300, 300))
+            plot.reset()
+            yield
+            import numpy as np
+            w = plot.total1D_y
+            centers = np.linspace(*plot.yaxis.limits, plot.yaxis.bins)
+            state['centers'].append((centers * w).sum() / w.sum())
+
+    run_ray_tracing([plot], repeats=1, run_process=run_process,
+                    generator=scan, key=jax.random.PRNGKey(0))
+    import numpy as np
+    got = np.asarray(state['centers'])
+    exp = np.asarray([2 * p * 1000.0 for p in (2e-3, 4e-3, 6e-3)])
+    assert np.allclose(got, exp, atol=0.1)
