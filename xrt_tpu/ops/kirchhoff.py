@@ -132,11 +132,20 @@ def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
     Nd = xd[0].shape[0]
     init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
-    # XLA:CPU's loop emitter breaks the exact two_sum/two_prod error
-    # extraction (verified empirically; TPU preserves it) — unroll there
-    unroll = jax.default_backend() == 'cpu'
-    out, _ = jax.lax.scan(body, init, inputs, unroll=nchunks if unroll
-                          else 1)
+    if jax.default_backend() == 'cpu':
+        # XLA:CPU's while-loop emitter miscompiles the exact
+        # two_sum/two_prod error extraction inside the loop body (verified
+        # empirically: phases come out as if the lo parts were dropped, and
+        # neither scan unroll nor optimization_barrier prevents it; TPU
+        # preserves exactness).  Unroll at trace time instead: each chunk
+        # compiles as a plain fused elementwise+reduce kernel, which is
+        # exact.
+        carry = init
+        for i in range(nchunks):
+            carry, _ = body(carry, tuple(v[i] for v in inputs))
+        out = carry
+    else:
+        out, _ = jax.lax.scan(body, init, inputs)
     (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
     return (EsA_r + 1j * EsA_i, EpA_r + 1j * EpA_i,
             aA_r + 1j * aA_i, bA_r + 1j * bA_i, cA_r + 1j * cA_i)

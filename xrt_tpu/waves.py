@@ -44,6 +44,16 @@ class Wave(Beam):
     yDiffr: Optional[jnp.ndarray] = None
     zDiffr: Optional[jnp.ndarray] = None
     rDiffr: Optional[jnp.ndarray] = None
+    # float64 low parts of the geometry for float32 (TPU) runs: the
+    # Kirchhoff phase k*r needs positions to ~1e-10 mm, far beyond f32;
+    # prepare_wave computes the geometry in host float64 and carries the
+    # residuals here for the double-float kernel (ops/dd.py)
+    xDiffr_lo: Optional[jnp.ndarray] = None
+    yDiffr_lo: Optional[jnp.ndarray] = None
+    zDiffr_lo: Optional[jnp.ndarray] = None
+    x_lo: Optional[jnp.ndarray] = None     # src-side local sample coords
+    y_lo: Optional[jnp.ndarray] = None
+    z_lo: Optional[jnp.ndarray] = None
     EsAcc: Optional[jnp.ndarray] = None
     EpAcc: Optional[jnp.ndarray] = None
     aEacc: Optional[jnp.ndarray] = None
@@ -99,17 +109,108 @@ def _to_fromOE_local(fromOE, xglo, yglo, zglo):
     return x, y, z
 
 
+def _np_rotate_xyz(x, y, z, rotationSequence='RzRyRx', pitch=0.0, roll=0.0,
+                   yaw=0.0):
+    """Pure-numpy float64 replica of transforms.rotate_xyz (needed on TPU
+    hosts where jnp is float32)."""
+    seq = rotationSequence
+    if seq[0] == '-':
+        letters = (seq[6], seq[4], seq[2])
+    else:
+        letters = (seq[1], seq[3], seq[5])
+    angles = {'z': float(yaw), 'y': float(roll), 'x': float(pitch)}
+    for s in letters:
+        cA, sA = math.cos(angles[s]), math.sin(angles[s])
+        if s == 'x':
+            y, z = cA * y - sA * z, sA * y + cA * z
+        elif s == 'y':
+            x, z = cA * x + sA * z, -sA * x + cA * z
+        else:
+            x, y = cA * x - sA * y, sA * x + cA * y
+    return x, y, z
+
+
+def _to_fromOE_local64(fromOE, x64, y64, z64):
+    """Float64 numpy version of :func:`_to_fromOE_local`."""
+    c = np.asarray(fromOE.center, np.float64)
+    x = np.asarray(x64, np.float64) - c[0]
+    y = np.asarray(y64, np.float64) - c[1]
+    z = np.asarray(z64, np.float64) - c[2]
+    if hasattr(fromOE, 'rotationSequence'):
+        if hasattr(fromOE, 'braggAngle'):
+            x, y, z = _np_rotate_xyz(x, y, z, fromOE.rotationSequence,
+                                     yaw=-math.pi)
+            pitch = -float(-fromOE.pitch - fromOE.braggAngle +
+                           fromOE.cryst2pitch + fromOE.cryst2finePitch)
+            roll = -float(fromOE.roll + fromOE.positionRoll +
+                          fromOE.cryst2roll)
+            yaw = float(fromOE.yaw)
+            x, y, z = _np_rotate_xyz(x, y, z, fromOE.rotationSequence,
+                                     pitch=pitch, roll=roll, yaw=yaw)
+            z = z + float(fromOE.cryst2perpTransl)
+            y = y - float(fromOE.cryst2longTransl)
+        else:
+            pitch, roll, yaw = fromOE._placement()[0:3]
+            x, y, z = _np_rotate_xyz(x, y, z, fromOE.rotationSequence,
+                                     pitch=-float(pitch),
+                                     roll=-float(roll), yaw=-float(yaw))
+            if fromOE.extraPitch is not None:
+                x, y, z = _np_rotate_xyz(
+                    x, y, z, fromOE.extraRotationSequence,
+                    pitch=-float(fromOE.extraPitch),
+                    roll=-float(fromOE.extraRoll),
+                    yaw=-float(fromOE.extraYaw))
+    elif hasattr(fromOE, 'ex'):
+        ex = np.asarray(fromOE.ex, np.float64)
+        ez = np.asarray(fromOE.ez, np.float64)
+        ey = np.cross(ez, ex)
+        lx = x * ex[0] + y * ex[1] + z * ex[2]
+        ly = x * ey[0] + y * ey[1] + z * ey[2]
+        lz = x * ez[0] + y * ez[1] + z * ez[2]
+        x, y, z = lx, ly, lz
+    return x, y, z
+
+
 def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
-    """Attach the receiving geometry to *wave* (cf. waves.py:505-584)."""
-    x, y, z = _to_fromOE_local(fromOE, jnp.asarray(xglo), jnp.asarray(yglo),
-                               jnp.asarray(zglo))
-    r = jnp.sqrt(x ** 2 + y ** 2 + z ** 2)
+    """Attach the receiving geometry to *wave* (cf. waves.py:505-584).
+
+    When the global receiving points are host values, the fromOE-local
+    transform runs in numpy float64 and, for float32 runs, the f64
+    residuals are stored in ``*Diffr_lo`` for the double-float Kirchhoff
+    kernel."""
+    dt = config.dtype()
+    host = not any(isinstance(v, jax.core.Tracer)
+                   for v in (xglo, yglo, zglo))
+    los = {}
+    if host:
+        x64, y64, z64 = _to_fromOE_local64(
+            fromOE, np.asarray(xglo, np.float64),
+            np.asarray(yglo, np.float64), np.asarray(zglo, np.float64))
+        r64 = np.sqrt(x64 ** 2 + y64 ** 2 + z64 ** 2)
+        x = jnp.asarray(x64, dt)
+        y = jnp.asarray(y64, dt)
+        z = jnp.asarray(z64, dt)
+        r = jnp.asarray(r64, dt)
+        if dt == jnp.float32:
+            from .ops import dd as _dd
+            los = dict(
+                xDiffr_lo=jnp.asarray(_dd.from_f64(x64)[1]),
+                yDiffr_lo=jnp.asarray(_dd.from_f64(y64)[1]),
+                zDiffr_lo=jnp.asarray(_dd.from_f64(z64)[1]))
+        a64, b64, c64 = x64 / r64, y64 / r64, z64 / r64
+        abc = (jnp.asarray(a64, dt), jnp.asarray(b64, dt),
+               jnp.asarray(c64, dt))
+    else:
+        x, y, z = _to_fromOE_local(fromOE, jnp.asarray(xglo),
+                                   jnp.asarray(yglo), jnp.asarray(zglo))
+        r = jnp.sqrt(x ** 2 + y ** 2 + z ** 2)
+        abc = (x / r, y / r, z / r)
     cdt = jnp.result_type(wave.Jsp)
     zero_c = jnp.zeros_like(x, dtype=cdt)
     zero = jnp.zeros_like(x)
     return wave.replace(
         xDiffr=x, yDiffr=y, zDiffr=z, rDiffr=r,
-        a=x / r, b=y / r, c=z / r, path=jnp.zeros_like(x),
+        a=abc[0], b=abc[1], c=abc[2], path=jnp.zeros_like(x),
         Es=zero_c, Ep=zero_c,
         EsAcc=zero_c, EpAcc=zero_c, aEacc=zero_c, bEacc=zero_c,
         cEacc=zero_c,
@@ -118,7 +219,7 @@ def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
         beamReflSumJ=jnp.zeros((), x.dtype),
         beamReflSumJnl=jnp.zeros((), x.dtype),
         diffract_repeats=jnp.zeros((), x.dtype),
-        fromOE=fromOE)
+        fromOE=fromOE, **los)
 
 
 # ---------------------------------------------------------------------------
@@ -142,21 +243,31 @@ def prepare_wave_on_screen(screen, prevOE, dim1, dim2, dy=0.0,
     if condition is not None:
         d1s, d2s = condition(d1s, d2s)
     nrays = len(d1s)
-    d1s = jnp.asarray(d1s, dt)
-    d2s = jnp.asarray(d2s, dt)
 
+    # geometry in float64 numpy so that prepare_wave can carry the f64
+    # residuals for the double-float phase on float32 hardware
+    c64 = np.asarray(screen.center, np.float64)
+    ex64 = np.asarray(screen.ex, np.float64)
+    ez64 = np.asarray(screen.ez, np.float64)
+    ey64 = np.cross(ez64, ex64)
     if isinstance(screen, HemisphericScreen):
-        phi, theta = d1s / screen.R, d2s / screen.R
-        xloc = screen.R * jnp.sin(phi) * jnp.cos(theta)
-        yloc = screen.R * jnp.cos(phi) * jnp.cos(theta)
-        zloc = screen.R * jnp.sin(theta)
-        xglo, yglo, zglo = screen.local_to_global(xloc, yloc, zloc)
-        x_l, y_l, z_l = xloc, yloc + dy, zloc
-        dS_arr = dS * jnp.abs(jnp.cos(theta)) * screen.R ** 2
+        R64 = float(screen.R)
+        phi, theta = d1s / R64, d2s / R64
+        xloc = R64 * np.sin(phi) * np.cos(theta)
+        yloc = R64 * np.cos(phi) * np.cos(theta)
+        zloc = R64 * np.sin(theta)
+        dS64 = dS * np.abs(np.cos(theta)) * R64 ** 2
     else:
-        xglo, yglo, zglo = screen.local_to_global(d1s, 0.0 * d1s + dy, d2s)
-        x_l, y_l, z_l = d1s, jnp.zeros_like(d1s) + dy, d2s
-        dS_arr = jnp.full((nrays,), dS, dt)
+        xloc, yloc, zloc = d1s, np.zeros_like(d1s) + dy, d2s
+        dS64 = np.full((nrays,), dS)
+    xglo = c64[0] + xloc * ex64[0] + yloc * ey64[0] + zloc * ez64[0]
+    yglo = c64[1] + xloc * ex64[1] + yloc * ey64[1] + zloc * ez64[1]
+    zglo = c64[2] + xloc * ex64[2] + yloc * ey64[2] + zloc * ez64[2]
+    x_l = jnp.asarray(xloc, dt)
+    y_l = jnp.asarray(yloc + (dy if isinstance(screen, HemisphericScreen)
+                              else 0.0), dt)
+    z_l = jnp.asarray(zloc, dt)
+    dS_arr = jnp.asarray(dS64, dt)
 
     wave = Wave(
         x=x_l, y=y_l, z=z_l,
@@ -429,11 +540,20 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
             else jax.default_backend() == 'tpu'
         kfn = kirchhoff_integral_pallas if use_kernel \
             else kirchhoff_integral_dd
+
+        def lo_of(v, lo):
+            return zero if lo is None else lo
+        src_zero = jnp.zeros_like(oeLocal.x)
+        sxl = getattr(oeLocal, 'x_lo', None)
+        syl = getattr(oeLocal, 'y_lo', None)
+        szl = getattr(oeLocal, 'z_lo', None)
         Es, Ep, aE, bE, cE = kfn(
-            (wave.xDiffr, zero), (wave.yDiffr, zero), (wave.zDiffr, zero),
-            (oeLocal.x, jnp.zeros_like(oeLocal.x)),
-            (oeLocal.y, jnp.zeros_like(oeLocal.y)),
-            (oeLocal.z, jnp.zeros_like(oeLocal.z)),
+            (wave.xDiffr, lo_of(wave.xDiffr, wave.xDiffr_lo)),
+            (wave.yDiffr, lo_of(wave.yDiffr, wave.yDiffr_lo)),
+            (wave.zDiffr, lo_of(wave.zDiffr, wave.zDiffr_lo)),
+            (oeLocal.x, src_zero if sxl is None else sxl),
+            (oeLocal.y, src_zero if syl is None else syl),
+            (oeLocal.z, src_zero if szl is None else szl),
             oeLocal.Es, oeLocal.Ep, (kh, kl), n, nl, w)
     else:
         Es, Ep, aE, bE, cE = kirchhoff_integral_xla(
