@@ -10,11 +10,13 @@ Workloads mirror the reference xrt speed tests (BASELINE.md):
 3. Kirchhoff diffraction (tests/speed/3_*: O(Nsrc x Ndst) integrals) —
    measured as pair-interactions/s with double-float phases.
 
-vs_baseline (headline) compares traced rays/s against the reference xrt on
-this host's CPU (460913 rays/s single-core numpy, tools/bench_reference.py).
-Extra keys give the per-workload comparisons vs the reference's published
-GPU numbers (BASELINE.md): undulator 1e5-ray shine 20.6-25.7 s on a W9100;
-Kirchhoff ~1.8e10 pairs/s on one A100 (3.2e11 pairs / 17.5 s).
+vs_baseline (headline) is the WEAKEST of the GPU-relative ratios vs the
+reference's published 1-GPU numbers (BASELINE.md): undulator 1e5-ray shine
+20.6-25.7 s on a W9100; Kirchhoff ~1.8e10 pairs/s on one A100 f64
+(3.2e11 pairs / 17.5 s).  Extra keys give each workload's numbers plus the
+ray-trace rate vs the reference on this host's CPU (460913 rays/s
+single-core numpy, tools/bench_reference.py — the reference has no GPU ray
+tracing).
 """
 import json
 import math
@@ -113,8 +115,10 @@ def bench_kirchhoff():
     from xrt_tpu.ops import dd
     from xrt_tpu.ops.kirchhoff import kirchhoff_integral_pallas
 
-    # ~6e9 pairs per call so the kernel time dominates remote dispatch
-    Ns, Nd = 100000, 60000
+    # the reference speed test 3 uses 2e5 samples per wave => 4e10 src x dst
+    # pairs per integral (tests/speed/3_Softi_CXIw2D_speed.py:10-17); same
+    # problem size here so the ratio is same-workload
+    Ns, Nd = 200000, 200000
     rng = np.random.RandomState(0)
     t = lambda a: tuple(map(jnp.asarray, dd.from_f64(a)))
 
@@ -135,7 +139,7 @@ def bench_kirchhoff():
             t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
             jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
     float(np.asarray(fn(*args)))
-    nrep = 4
+    nrep = 3
     t0 = time.time()
     s = 0.0
     for i in range(nrep):
@@ -151,18 +155,24 @@ def main():
     rays_per_s = bench_trace()
     und_shine_s = bench_undulator()
     kirchhoff_pairs_s = bench_kirchhoff()
+    und_ratio = REFERENCE_UND_SHINE_S / und_shine_s
+    kir_ratio = kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S
+    # headline = the WEAKEST GPU-relative ratio across the reference speed
+    # workloads that have a published GPU number (BASELINE.md #2, #3) —
+    # progress is measured against the hardest bar, not the most flattering
     print(json.dumps({
-        'metric': 'traced rays/s/chip (MC source + toroid Si mirror + '
-                  'screen + 2D hist)',
-        'value': round(rays_per_s, 1),
-        'unit': 'rays/s',
-        'vs_baseline': round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
-        'undulator_shine_1e5rays_s': round(und_shine_s, 3),
-        'undulator_vs_W9100_GPU': round(REFERENCE_UND_SHINE_S / und_shine_s,
-                                        3),
+        'metric': 'weakest GPU-relative speedup across reference speed '
+                  'workloads (1 TPU v5e chip vs published 1-GPU numbers)',
+        'value': round(min(und_ratio, kir_ratio), 3),
+        'unit': 'x',
+        'vs_baseline': round(min(und_ratio, kir_ratio), 3),
         'kirchhoff_pairs_per_s': round(kirchhoff_pairs_s, 1),
-        'kirchhoff_vs_A100_GPU': round(
-            kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S, 3),
+        'kirchhoff_vs_A100_GPU_f64': round(kir_ratio, 3),
+        'undulator_shine_1e5rays_s': round(und_shine_s, 3),
+        'undulator_vs_W9100_GPU': round(und_ratio, 3),
+        'traced_rays_per_s': round(rays_per_s, 1),
+        'trace_vs_reference_1core_numpy': round(
+            rays_per_s / REFERENCE_RAYS_PER_S, 3),
     }))
 
 

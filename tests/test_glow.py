@@ -1,0 +1,74 @@
+"""Headless glow export (xrt_tpu/glow.py) — capability analog of the
+reference's Qt/OpenGL xrtGlow viewer (gui/xrtGlow/widgets/main.py):
+beamline layout + traced beams to standalone HTML and PNG."""
+import json
+import math
+import re
+
+import jax
+import numpy as np
+
+import xrt_tpu.materials as xm
+from xrt_tpu.beamline import BeamLine
+from xrt_tpu.oes import ToroidMirror
+from xrt_tpu.screens import Screen
+from xrt_tpu.sources import GeometricSource
+from xrt_tpu.apertures import RectangularAperture
+from xrt_tpu.glow import build_scene, export_html, export_png
+
+
+def _beamline():
+    pitch = 4e-3
+    p, q = 10000.0, 2000.0
+    mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+    bl = BeamLine(name='glow-test')
+    bl.add('src', GeometricSource.create(
+        nrays=500, center=(0, 0, 0), dx=0.1, dz=0.05, dxprime=3e-5,
+        dzprime=3e-5, distE='flat', energies=(8900.0, 9100.0),
+        polarization='horizontal'))
+    R = 2 * p * q / (p + q) / math.sin(pitch)
+    r = 2 * p * q / (p + q) * math.sin(pitch)
+    bl.add('m1', ToroidMirror.create(center=(0, p, 0), pitch=pitch, R=R,
+                                     r=r, material=mat,
+                                     limPhysX=(-20, 20),
+                                     limPhysY=(-300, 300)))
+    bl.add('slit', RectangularAperture.create(
+        center=(0, p + 500, 2 * pitch * 500), opening=(-5, 5, -5, 5)))
+    bl.add('scr', Screen.create(center=(0, p + q, 2 * pitch * q)))
+    return bl
+
+
+def test_scene_and_html_export(tmp_path):
+    bl = _beamline()
+    beams = bl.propagate_flow(jax.random.PRNGKey(0))
+    scene = build_scene(bl, beams=beams)
+    names = {e['name'] for e in scene['elements']}
+    assert {'src', 'm1', 'slit', 'scr'} <= names
+    # mirror wireframe reaches the mirror position (y ~ 10000)
+    m1 = next(e for e in scene['elements'] if e['name'] == 'm1')
+    ys = np.asarray([p[1] for line in m1['lines'] for p in line])
+    assert abs(ys.mean() - 10000) < 400
+    # beam segments connect consecutive flow elements
+    pairs = [(s['from'], s['to']) for s in scene['segments']]
+    assert ('src', 'm1') in pairs and ('m1', 'slit') in pairs
+    seg = scene['segments'][0]
+    assert len(seg['p']) == len(seg['rgb']) == len(seg['good'])
+
+    out = export_html(bl, beams=beams,
+                      fileName=str(tmp_path / 'bl.html'))
+    html = open(out).read()
+    assert html.startswith('<!DOCTYPE html>')
+    assert 'glow-test' in html
+    # embedded scene is valid JSON
+    m = re.search(r'const SCENE = (\{.*?\});\n', html, re.S)
+    embedded = json.loads(m.group(1))
+    assert len(embedded['segments']) == 3
+
+
+def test_png_export(tmp_path):
+    bl = _beamline()
+    beams = bl.propagate_flow(jax.random.PRNGKey(0))
+    out = bl.glow(beams=beams, save=str(tmp_path / 'bl.png'), maxRays=50)
+    data = open(out, 'rb').read()
+    assert data[:8] == b'\x89PNG\r\n\x1a\n'
+    assert len(data) > 10000

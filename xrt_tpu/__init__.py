@@ -21,7 +21,8 @@ def __getattr__(name):
     if name in ('sources', 'oes', 'materials', 'waves', 'screens',
                 'apertures', 'beamline', 'runner', 'plotspec', 'plotting',
                 'coherence', 'modes', 'parallel', 'figure_error', 'kde',
-                'stages', 'server', 'beamio', 'histogram', 'dummy'):
+                'stages', 'server', 'beamio', 'histogram', 'dummy',
+                'flow', 'glow'):
         return importlib.import_module('.' + name, __name__)
     raise AttributeError(name)
 

@@ -121,9 +121,9 @@ def new_beam(nrays: int = None, energy: float = None, withAmplitudes=False,
         E=jnp.full((nrays,), energy, dt),
         state=jnp.full((nrays,), STATE_GOOD, jnp.int32),
         path=z,
-        Jss=jnp.ones(nrays, dt), Jpp=z, Jsp=jnp.zeros(nrays, cdt),
-        Es=jnp.zeros(nrays, cdt) if withAmplitudes else None,
-        Ep=jnp.zeros(nrays, cdt) if withAmplitudes else None,
+        Jss=jnp.ones(nrays, dt), Jpp=z, Jsp=config.czeros(nrays, cdt),
+        Es=config.czeros(nrays, cdt) if withAmplitudes else None,
+        Ep=config.czeros(nrays, cdt) if withAmplitudes else None,
     )
     return beam
 

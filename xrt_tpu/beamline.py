@@ -274,6 +274,20 @@ class BeamLine:
                 beams[name] = beam
         return beams
 
+    def glow(self, beams=None, save='glow.html', maxRays=200):
+        """Headless 3D view of the beamline layout and traced beams — the
+        capability analog of the reference's ``bl.glow()`` Qt/OpenGL viewer
+        (beamline.py:888, gui/xrtGlow).  Writes a standalone interactive
+        HTML file (or a PNG if *save* ends with '.png') and returns the
+        file name.  *beams*: an ordered {name: Beam} of global beams, e.g.
+        from :meth:`propagate_flow`."""
+        from . import glow as _glow
+        if str(save).endswith('.png'):
+            return _glow.export_png(self, beams=beams, fileName=save,
+                                    maxRays=maxRays)
+        return _glow.export_html(self, beams=beams, fileName=save,
+                                 maxRays=maxRays)
+
     def check_alarms(self, beams, threshold=0.5):
         """Flag elements that absorb more than *threshold* of the incoming
         rays (cf. reference alarmLevel, raycing/__init__.py:307-328).

@@ -40,6 +40,30 @@ def cdtype():
     return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _czeros_fn(shape, dtname):
+    return jax.jit(lambda: jnp.zeros(shape, dtname))
+
+
+def czeros(shape, dtype=None):
+    """Complex zeros materialized device-side.
+
+    Some TPU transports (e.g. remote tunnels) do not implement complex
+    host<->device transfers, so an eager ``jnp.zeros(shape, complex64)``
+    enqueues a doomed transfer that surfaces at the next sync point.
+    Compiling the constant instead keeps it on the device.  On CPU this
+    is a plain ``jnp.zeros``."""
+    dtype = dtype or cdtype()
+    if jax.default_backend() == 'cpu':
+        return jnp.zeros(shape, dtype)
+    if isinstance(shape, int):
+        shape = (shape,)
+    return _czeros_fn(tuple(shape), jnp.dtype(dtype).name)()
+
+
 def auto_units_angle(angle, defaultFactor=1.0):
     """Parse angle values given as strings with units — '0.2 deg',
     '4 mrad', '250 urad', '10 nrad', '0.004 rad' — into radians

@@ -147,8 +147,258 @@ def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     else:
         out, _ = jax.lax.scan(body, init, inputs)
     (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
-    return (EsA_r + 1j * EsA_i, EpA_r + 1j * EpA_i,
-            aA_r + 1j * aA_i, bA_r + 1j * bA_i, cA_r + 1j * cA_i)
+    cx = jax.lax.complex
+    return (cx(EsA_r, EsA_i), cx(EpA_r, EpA_i),
+            cx(aA_r, aA_i), cx(bA_r, bA_i), cx(cA_r, cA_i))
+
+
+# ---------------------------------------------------------------------------
+# Recentred transverse-offset phase (the fast path)
+# ---------------------------------------------------------------------------
+#
+# With D0/S0 reference points near the dst/src clouds, C = D0 - S0,
+# R0 = |C|, L = C/R0, u = d - D0, v = s - S0 and w = u - v, the pair
+# distance obeys the EXACT identity
+#
+#   r^2 = (R0 + L.w)^2 + |w_perp|^2,   w_perp = w - (L.w) L,
+#
+# i.e. r = A*sqrt(1 + wp2/A^2) with A = R0 + L.u - L.v and
+# wp2 = |t_d - t_s|^2 where t = (u - (L.u) L) are the *transverse*
+# offsets — small (~mm) even when footprints extend ~100 mm along the
+# beam.  All large/precision-critical quantities (L.u, L.v, R0, the
+# phase kappa*(R0 - L.v)) are per-POINT double-float precomputations;
+# the per-PAIR work is plain f32 on small numbers plus a truncated
+# sqrt series for delta = r - A (kappa*delta is O(1..1e4) cycles).
+#
+# Accuracy: phase error ~ 2*pi*(1.2e-7 * kappa*delta + 4e-7) rad where
+# kappa*delta = wp2/(2*A*lambda) — i.e. ~1e-4 rad for typical wave
+# propagation (transverse extents <~2 mm, distances >~0.5 m) and
+# <~1e-2 rad up to kappa*delta ~ 1e4.  The per-src/per-dst dd terms
+# carry the usual 2^-48 relative bound.  For pathological geometries
+# (NA > ~0.1 or transverse extents of many cm at short distance) use
+# phase_mode='exact'/'fast'.
+
+
+def _presplit(a):
+    """Dekker split halves of f32 *a* (each with <=12 mantissa bits), for
+    exact products against another pre-split factor."""
+    c = dd._SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                              weights, monochromatic=False):
+    """Per-point precomputations for the recentred Kirchhoff phase.
+
+    All inputs as in :func:`kirchhoff_integral_dd` ((hi, lo) f32 tuples for
+    positions and k).  Returns (dst, src, params) dicts of f32 arrays /
+    scalars consumed by :func:`_recentred_pair` — O(Nd)+O(Ns) double-float
+    work, all plain XLA."""
+    f32 = xd[0].dtype
+    Ns = xs[0].shape[0]
+
+    def mean_h(t):
+        return jnp.mean(t[0])
+    D0 = (mean_h(xd), mean_h(yd), mean_h(zd))
+    S0 = (mean_h(xs), mean_h(ys), mean_h(zs))
+    # C = D0 - S0 exactly (dd scalars)
+    C = [dd.two_sum(D0[i], -S0[i]) for i in range(3)]
+    # |C|^2, R0 = |C|, rho = |C|^2 - R0^2 (fold the dd-sqrt residual)
+    c2 = dd.sqr(*C[0])
+    c2 = dd.add(*c2, *dd.sqr(*C[1]))
+    c2 = dd.add(*c2, *dd.sqr(*C[2]))
+    R0 = dd.sqrt(*c2)
+    rho_h, rho_l = dd.sub(*c2, *dd.sqr(*R0))
+    rho = rho_h + rho_l
+    L = [dd.div(*C[i], *R0) for i in range(3)]
+
+    u = [dd.add_f(xd[0], xd[1], -D0[0]), dd.add_f(yd[0], yd[1], -D0[1]),
+         dd.add_f(zd[0], zd[1], -D0[2])]
+    v = [dd.add_f(xs[0], xs[1], -S0[0]), dd.add_f(ys[0], ys[1], -S0[1]),
+         dd.add_f(zs[0], zs[1], -S0[2])]
+
+    def ldot(w):
+        m = dd.mul(L[0][0], L[0][1], w[0][0], w[0][1])
+        m = dd.add(*m, *dd.mul(L[1][0], L[1][1], w[1][0], w[1][1]))
+        m = dd.add(*m, *dd.mul(L[2][0], L[2][1], w[2][0], w[2][1]))
+        return m
+    pdh, pdl = ldot(u)         # L.u per dst (dd)
+    lvh, lvl = ldot(v)         # L.v per src (dd)
+
+    def transverse(w, ph, pl):
+        out = []
+        for i in range(3):
+            proj = dd.mul(ph, pl, L[i][0], L[i][1])
+            th, tl = dd.sub(w[i][0], w[i][1], proj[0], proj[1])
+            out.append(th + tl)
+        return out
+    td = transverse(u, pdh, pdl)
+    ts = transverse(v, lvh, lvl)
+
+    # kappa = k/(2 pi) in dd (per src)
+    kah, kal = dd.mul(k[0], k[1], jnp.full_like(k[0], dd.INV_TWO_PI_HI),
+                      jnp.full_like(k[0], dd.INV_TWO_PI_LO))
+    # phi_s = frac(kappa * (R0 - L.v)) per src (dd, then a small f32)
+    qh, ql = dd.add_f(-lvh, -lvl, R0[0])
+    qh, ql = dd.add_f(qh, ql, R0[1])
+    mh, ml = dd.mul(kah, kal, qh, ql)
+    phis = dd.frac_cycles(mh, ml)
+
+    halfR0 = 0.5 * (R0[0] + R0[1])
+    dst = dict(tdx=td[0], tdy=td[1], tdz=td[2],
+               ad=halfR0 + (pdh + pdl), pdh=pdh, pdl=pdl)
+    src = dict(tsx=ts[0], tsy=ts[1], tsz=ts[2],
+               as_=halfR0 - (lvh + lvl), lvh=lvh, phis=phis)
+
+    n = [jnp.broadcast_to(ni, (Ns,)).astype(f32) for ni in n]
+    kw = k[0] * weights * (1.0 / (4 * PI))
+    Ch = [C[i][0] + C[i][1] for i in range(3)]
+    Lh = [L[i][0] + L[i][1] for i in range(3)]
+    src.update(
+        kw=kw, kwnl=kw * nl, k2=k[0] ** 2 * (1.0 / (4 * PI)),
+        Lns=Lh[0] * n[0] + Lh[1] * n[1] + Lh[2] * n[2],
+        Cns=Ch[0] * n[0] + Ch[1] * n[1] + Ch[2] * n[2],
+        n0=n[0], n1=n[1], n2=n[2],
+        esr=Es.real.astype(f32), esi=Es.imag.astype(f32),
+        epr=Ep.real.astype(f32), epi=Ep.imag.astype(f32))
+    src['ser'] = src['esr'] + src['epr']
+    src['sei'] = src['esi'] + src['epi']
+    params = dict(Cx=Ch[0], Cy=Ch[1], Cz=Ch[2],
+                  Lx=Lh[0], Ly=Lh[1], Lz=Lh[2], rho=rho)
+    if monochromatic:
+        # fold kappa*L.u into a per-dst fractional phase; kappa scalar
+        ka0 = (kah[0], kal[0])
+        mdh, mdl = dd.mul_f(*ka0, pdh)
+        mdl = mdl + ka0[0] * pdl
+        dst['phid'] = dd.frac_cycles(mdh, mdl)
+        params['kappa_h'] = ka0[0]
+        params['kappa_l'] = ka0[1]
+    else:
+        ka1, ka2 = _presplit(kah)
+        pd1, pd2 = _presplit(pdh)
+        src.update(kah=kah, kal=kal, ka1=ka1, ka2=ka2)
+        dst.update(pd1=pd1, pd2=pd2)
+    return dst, src, params
+
+
+# delta = r - A = A*(sqrt(1+x) - 1) = wp2*rinv*(1/2 - x/8 + x^2/16 - ...)
+_DELTA_C1 = 0.125
+_DELTA_C2 = 0.0625
+_DELTA_C3 = 0.0390625
+
+
+def _recentred_pair(d, s, params, monochromatic):
+    """Per-pair Kirchhoff factors for broadcast-compatible dst/src dicts.
+
+    Returns (U_r, U_i, g_r, g_i, ax, ay, az): the complex Kirchhoff
+    propagator U (split), the gradient-integral weight g = k^2/(4 pi) /r *
+    (Es+Ep)*U (split) and the un-normalized direction numerators."""
+    tx = d['tdx'] - s['tsx']
+    ty = d['tdy'] - s['tsy']
+    tz = d['tdz'] - s['tsz']
+    wp2 = tx * tx + ty * ty + tz * tz + params['rho']
+    A = d['ad'] + s['as_']
+    rinv = 1.0 / A
+    x = wp2 * rinv * rinv
+    poly = 0.5 - x * (_DELTA_C1 - x * (_DELTA_C2 - _DELTA_C3 * x))
+    delta = wp2 * rinv * poly
+    if monochromatic:
+        phic = params['kappa_h'] * delta
+        lo2 = d['phid'] + s['phis'] + params['kappa_l'] * delta
+        m = lo2 - jnp.round(lo2) + (phic - jnp.round(phic))
+    else:
+        # exact kappa_s * (L.u)_d via pre-split two-product
+        p = s['kah'] * d['pdh']
+        e = ((s['ka1'] * d['pd1'] - p) + s['ka1'] * d['pd2'] +
+             s['ka2'] * d['pd1']) + s['ka2'] * d['pd2']
+        phic = s['kah'] * delta
+        lo2 = e + s['kal'] * d['pdh'] + s['kah'] * d['pdl'] + s['phis'] + \
+            s['kal'] * delta
+        c0 = dd.frac_cycles(p, lo2)
+        m = c0 + (phic - jnp.round(phic))
+    c = m - jnp.round(m)
+    sph, cph = dd.sincos_cycles(c)
+
+    lw = d['pdh'] - s['lvh']
+    ax = params['Cx'] + tx + lw * params['Lx']
+    ay = params['Cy'] + ty + lw * params['Ly']
+    az = params['Cz'] + tz + lw * params['Lz']
+    num = s['Cns'] + tx * s['n0'] + ty * s['n1'] + tz * s['n2'] + \
+        lw * s['Lns']
+    pre = (s['kwnl'] + num * rinv * s['kw']) * rinv
+    U_r = -pre * sph
+    U_i = pre * cph
+    f = s['k2'] * rinv
+    g_r = f * (s['ser'] * U_r - s['sei'] * U_i)
+    g_i = f * (s['ser'] * U_i + s['sei'] * U_r)
+    return U_r, U_i, g_r, g_i, ax, ay, az
+
+
+_DST_KEYS_MONO = ('tdx', 'tdy', 'tdz', 'ad', 'pdh', 'phid')
+_DST_KEYS_POLY = ('tdx', 'tdy', 'tdz', 'ad', 'pdh', 'pdl', 'pd1', 'pd2')
+_SRC_KEYS_COMMON = ('tsx', 'tsy', 'tsz', 'as_', 'lvh', 'phis', 'kw',
+                    'kwnl', 'k2', 'Lns', 'Cns', 'n0', 'n1', 'n2',
+                    'esr', 'esi', 'epr', 'epi', 'ser', 'sei')
+_SRC_KEYS_POLY = _SRC_KEYS_COMMON + ('kah', 'kal', 'ka1', 'ka2')
+
+
+def _accumulate(acc, U_r, U_i, g_r, g_i, ax, ay, az, s, axis):
+    esr, esi = s['esr'], s['esi']
+    epr, epi = s['epr'], s['epi']
+    return (acc[0] + jnp.sum(esr * U_r - esi * U_i, axis=axis),
+            acc[1] + jnp.sum(esr * U_i + esi * U_r, axis=axis),
+            acc[2] + jnp.sum(epr * U_r - epi * U_i, axis=axis),
+            acc[3] + jnp.sum(epr * U_i + epi * U_r, axis=axis),
+            acc[4] + jnp.sum(g_r * ax, axis=axis),
+            acc[5] + jnp.sum(g_i * ax, axis=axis),
+            acc[6] + jnp.sum(g_r * ay, axis=axis),
+            acc[7] + jnp.sum(g_i * ay, axis=axis),
+            acc[8] + jnp.sum(g_r * az, axis=axis),
+            acc[9] + jnp.sum(g_i * az, axis=axis))
+
+
+def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                                 weights, monochromatic=False,
+                                 src_chunk=None):
+    """XLA (non-Pallas) evaluation of the recentred scheme — compiles on
+    any backend; used for validation and as the CPU f32 fast path."""
+    dst, src, params = recentre_kirchhoff_inputs(
+        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
+    f32 = xd[0].dtype
+    Ns = xs[0].shape[0]
+    Nd = xd[0].shape[0]
+    chunk = src_chunk or SRC_CHUNK
+    npad = (-Ns) % chunk
+    skeys = _SRC_KEYS_COMMON if monochromatic else _SRC_KEYS_POLY
+    dkeys = _DST_KEYS_MONO if monochromatic else _DST_KEYS_POLY
+
+    def pad(v):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    nchunks = (Ns + npad) // chunk
+    src_steps = {kk: pad(src[kk]).reshape(nchunks, chunk) for kk in skeys}
+    dcol = {kk: dst[kk][:, None] for kk in dkeys}
+
+    def body(carry, s_chunk):
+        srow = {kk: s_chunk[kk][None, :] for kk in skeys}
+        vals = _recentred_pair(dcol, srow, params, monochromatic)
+        return _accumulate(carry, *vals, srow, 1), None
+
+    init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
+    if jax.default_backend() == 'cpu':
+        # XLA:CPU's while-loop emitter breaks the exact two-prod error
+        # extraction inside scan bodies (see kirchhoff_integral_dd);
+        # unroll at trace time so each chunk is a plain fused kernel
+        out = init
+        for i in range(nchunks):
+            out, _ = body(out, {kk: v[i] for kk, v in src_steps.items()})
+    else:
+        out, _ = jax.lax.scan(body, init, src_steps)
+    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    cx = jax.lax.complex
+    return (cx(EsA_r, EsA_i), cx(EpA_r, EpA_i),
+            cx(aA_r, aA_i), cx(bA_r, bA_i), cx(cA_r, cA_i))
 
 
 def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
@@ -179,18 +429,102 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
     return cyc, s0, rinv, dxh, dyh, dzh
 
 
+def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                                weights, dst_tile, src_chunk, sublanes,
+                                monochromatic):
+    """The recentred-phase Pallas kernel (see module notes above): per-pair
+    work is plain f32 on small transverse offsets; all dd precision lives
+    in O(N) per-point precomputations.  ~2x the throughput of the dd-phase
+    kernel at better typical accuracy."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = xd[0].dtype
+    dst, src, params = recentre_kirchhoff_inputs(
+        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
+    dkeys = _DST_KEYS_MONO if monochromatic else _DST_KEYS_POLY
+    skeys = _SRC_KEYS_COMMON if monochromatic else _SRC_KEYS_POLY
+    pkeys = ('Cx', 'Cy', 'Cz', 'Lx', 'Ly', 'Lz', 'rho') + \
+        (('kappa_h', 'kappa_l') if monochromatic else ())
+
+    Nd = xd[0].shape[0]
+    Ns = xs[0].shape[0]
+    block_d = dst_tile * sublanes
+    npad_d = (-Nd) % block_d
+    npad_s = (-Ns) % src_chunk
+
+    def padto(v, npad):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
+            else v
+    NdP = Nd + npad_d
+    nrows = NdP // dst_tile
+    nsrc_chunks = (Ns + npad_s) // src_chunk
+    dsts = [padto(dst[kk], npad_d).reshape(nrows, dst_tile) for kk in dkeys]
+    srcs = [padto(src[kk], npad_s).reshape(nsrc_chunks, src_chunk)
+            for kk in skeys]
+    pvec = jnp.stack([jnp.asarray(params[kk], f32) for kk in pkeys])[None]
+
+    def kernel(pref, *refs):
+        drefs = refs[:len(dkeys)]
+        srefs = refs[len(dkeys):len(dkeys) + len(skeys)]
+        outs = refs[len(dkeys) + len(skeys):]
+        pdict = {kk: pref[0, i] for i, kk in enumerate(pkeys)}
+        for srow in range(sublanes):
+            dcol = {kk: r[srow, :].reshape(-1, 1)
+                    for kk, r in zip(dkeys, drefs)}
+
+            def body(j, acc):
+                srow_d = {kk: r[j, :].reshape(1, -1)
+                          for kk, r in zip(skeys, srefs)}
+                vals = _recentred_pair(dcol, srow_d, pdict, monochromatic)
+                return _accumulate(acc, *vals, srow_d, 1)
+
+            init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
+            acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
+            for ref, val in zip(outs, acc):
+                ref[srow, :] = val
+
+    grid = (nrows // sublanes,)
+    dst_spec = pl.BlockSpec((sublanes, dst_tile), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    src_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((1, len(pkeys)), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem_spec] + [dst_spec] * len(dkeys) +
+                 [src_spec] * len(skeys),
+        out_specs=tuple([dst_spec] * 10),
+        out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
+                        for _ in range(10)),
+    )(pvec, *dsts, *srcs)
+    sl = slice(0, Nd)
+
+    def fl(v):
+        return v.reshape(-1)[sl]
+    (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
+    cx = jax.lax.complex
+    return (cx(fl(EsA_r), fl(EsA_i)), cx(fl(EpA_r), fl(EpA_i)),
+            cx(fl(aA_r), fl(aA_i)), cx(fl(bA_r), fl(bA_i)),
+            cx(fl(cA_r), fl(cA_i)))
+
+
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                               weights, dst_tile=128, src_chunk=1024,
-                              sublanes=8, phase_mode='fast'):
+                              sublanes=8, phase_mode='recentred',
+                              monochromatic=False):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
-    points per program), fori_loop over source chunks, the dd-phase math of
-    :func:`kirchhoff_integral_dd` on the VPU with (dst_tile x src_chunk)
-    2D vector work per step.
+    points per program), fori_loop over source chunks, with
+    (dst_tile x src_chunk) 2D vector work per step.
 
     Accepts plain f32 arrays (lo parts zero) or (hi, lo) tuples.
-    *phase_mode*: 'fast' uses :func:`_phase_dd_fast` (~18% faster end to
-    end, worst-case ~0.03 rad phase), 'exact' the fully renormalized dd
-    chain (~0.01 rad)."""
+    *phase_mode*:
+      'recentred' (default) — transverse-offset scheme, fastest, phase
+        error ~1e-4 rad typical (see module notes for the envelope);
+      'fast' — per-pair dd distances via :func:`_phase_dd_fast`
+        (~0.03 rad worst);
+      'exact' — fully renormalized dd chain (~0.01 rad worst)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -202,6 +536,10 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     xs, ys, zs = astuple(xs), astuple(ys), astuple(zs)
     k = astuple(k)
     f32 = xd[0].dtype
+    if phase_mode == 'recentred':
+        return _kirchhoff_pallas_recentred(
+            xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights,
+            dst_tile, src_chunk, sublanes, monochromatic)
 
     Nd = xd[0].shape[0]
     Ns = xs[0].shape[0]
@@ -330,6 +668,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     def fl(v):
         return v.reshape(-1)[sl]
     (EsA_r, EsA_i, EpA_r, EpA_i, aA_r, aA_i, bA_r, bA_i, cA_r, cA_i) = out
-    return (fl(EsA_r) + 1j * fl(EsA_i), fl(EpA_r) + 1j * fl(EpA_i),
-            fl(aA_r) + 1j * fl(aA_i), fl(bA_r) + 1j * fl(bA_i),
-            fl(cA_r) + 1j * fl(cA_i))
+    cx = jax.lax.complex
+    return (cx(fl(EsA_r), fl(EsA_i)), cx(fl(EpA_r), fl(EpA_i)),
+            cx(fl(aA_r), fl(aA_i)), cx(fl(bA_r), fl(bA_i)),
+            cx(fl(cA_r), fl(cA_i)))

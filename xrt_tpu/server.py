@@ -47,12 +47,41 @@ def _params_of(element) -> Dict[str, float]:
     return out
 
 
+def _default_summary(results) -> Dict[str, dict]:
+    """JSON summary of flow-replay outputs: per-beam good-ray flux and
+    centroid (the analog of the EPICS readback/image records)."""
+    out = {}
+    for key, val in results.items():
+        if key.startswith('~'):     # derived-beam helper steps
+            continue
+        beams = val if isinstance(val, tuple) else (val,)
+        b = beams[0]
+        if not hasattr(b, 'state'):
+            continue
+        state = np.asarray(b.state)
+        good = state == 1
+        Jss = np.asarray(b.Jss)
+        Jpp = np.asarray(b.Jpp)
+        w = np.where(good, Jss + Jpp, 0.0)
+        tot = float(w.sum())
+        x = np.asarray(b.x)
+        z = np.asarray(b.z)
+        out[key] = {
+            'flux': tot,
+            'nGood': int(good.sum()),
+            'cx': float((x * w).sum() / tot) if tot > 0 else 0.0,
+            'cz': float((z * w).sum() / tot) if tot > 0 else 0.0,
+        }
+    return out
+
+
 class BeamLineServer:
     """Serves the elements of a dict {name: element} (or a
     :class:`~xrt_tpu.beamline.BeamLine`) for remote get/set/acquire."""
 
     def __init__(self, elements, trace_fn: Optional[Callable] = None,
-                 host='127.0.0.1', port=0, autoUpdate=True):
+                 host='127.0.0.1', port=0, autoUpdate=True, flow=None,
+                 summarize_fn: Optional[Callable] = None):
         if hasattr(elements, '_elements'):    # a BeamLine
             self._bl = elements
             self.elements = elements._elements
@@ -60,6 +89,13 @@ class BeamLineServer:
             self._bl = None
             self.elements = dict(elements)
         self.trace_fn = trace_fn
+        #: optional recorded Flow (xrt_tpu.flow): a `set` on element k then
+        #: replays only from k onward with cached upstream beams — the
+        #: analog of the reference's restart-from-element propagation
+        #: (_flow.py:31-40)
+        self.flow = flow
+        self.summarize_fn = summarize_fn or _default_summary
+        self._flow_replacements: Dict[str, object] = {}
         self.autoUpdate = autoUpdate
         self.lastResult = None
         self._lock = threading.Lock()
@@ -71,6 +107,7 @@ class BeamLineServer:
                     line = line.strip()
                     if not line:
                         continue
+                    req = {}
                     try:
                         req = json.loads(line.decode())
                         resp = srv_self._dispatch(req)
@@ -115,18 +152,37 @@ class BeamLineServer:
                 if self._bl is not None:
                     self._bl.update(name, new)
                 out = {'ok': True}
-                if self.autoUpdate and self.trace_fn is not None:
-                    self.lastResult = self.trace_fn(self.elements)
-                    out['result'] = self.lastResult
+                if self.autoUpdate:
+                    res = self._retrace(changed=name)
+                    if res is not None:
+                        self.lastResult = res
+                        out['result'] = res
                 return out
             if cmd == 'acquire':
-                if self.trace_fn is None:
-                    return {'error': 'no trace_fn configured'}
-                self.lastResult = self.trace_fn(self.elements)
-                return {'result': self.lastResult}
+                res = self._retrace()
+                if res is None:
+                    return {'error': 'no trace_fn or flow configured'}
+                self.lastResult = res
+                return {'result': res}
             if cmd == 'shutdown':
                 return {'ok': True}
         return {'error': f'unknown cmd {cmd}'}
+
+    # ------------------------------------------------------------------
+    def _retrace(self, changed: Optional[str] = None):
+        """Re-run the propagation after a parameter change.
+
+        With a recorded *flow*, only the steps from the (earliest) changed
+        element onward re-run — upstream beams come from the recording
+        cache.  Falls back to the full *trace_fn* otherwise."""
+        if self.flow is not None:
+            if changed is not None:
+                self._flow_replacements[changed] = self.elements[changed]
+            results = self.flow.replay(replace=self._flow_replacements)
+            return self.summarize_fn(results)
+        if self.trace_fn is not None:
+            return self.trace_fn(self.elements)
+        return None
 
     # ------------------------------------------------------------------
     def start(self):

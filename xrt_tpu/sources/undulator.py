@@ -535,7 +535,10 @@ class Undulator(_SynchrotronBase):
         rE = jnp.full((n,), fixedEnergy, dt)
         Intensity, mJs, mJp = self.build_I_map(keys[4], rE, rTheta, rPsi,
                                                dgamma=dgamma)
-        norm = jnp.sqrt(wave.area) / rDiffr
+        # the wave's aperture area projected onto the beam direction when
+        # sampling an OE surface (reference sybase.py:1702-1707)
+        wave_area = wave.area if wave.areaNormal is None else wave.areaNormal
+        norm = jnp.sqrt(wave_area) / rDiffr
         Es = mJs * norm
         Ep = mJp * norm
         return wave.replace(

@@ -18,6 +18,7 @@ XLA path requires float64 (tests/CPU) and the TPU path uses the kernel.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional
 
@@ -59,6 +60,7 @@ class Wave(Beam):
     aEacc: Optional[jnp.ndarray] = None
     bEacc: Optional[jnp.ndarray] = None
     cEacc: Optional[jnp.ndarray] = None
+    areaNormal: Optional[jnp.ndarray] = None
     beamReflRays: Optional[jnp.ndarray] = None
     beamReflSumJ: Optional[jnp.ndarray] = None
     beamReflSumJnl: Optional[jnp.ndarray] = None
@@ -206,7 +208,11 @@ def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
         r = jnp.sqrt(x ** 2 + y ** 2 + z ** 2)
         abc = (x / r, y / r, z / r)
     cdt = jnp.result_type(wave.Jsp)
-    zero_c = jnp.zeros_like(x, dtype=cdt)
+    if isinstance(x, jax.core.Tracer):
+        zero_c = jnp.zeros_like(x, dtype=cdt)
+    else:
+        # eager: build device-side (complex H2D transfer may be missing)
+        zero_c = config.czeros(x.shape, cdt)
     zero = jnp.zeros_like(x)
     return wave.replace(
         xDiffr=x, yDiffr=y, zDiffr=z, rDiffr=r,
@@ -277,7 +283,7 @@ def prepare_wave_on_screen(screen, prevOE, dim1, dim2, dy=0.0,
         state=jnp.ones((nrays,), jnp.int32),
         path=jnp.zeros((nrays,), dt),
         Jss=jnp.zeros((nrays,), dt), Jpp=jnp.zeros((nrays,), dt),
-        Jsp=jnp.zeros((nrays,), cdt),
+        Jsp=config.czeros((nrays,), cdt),
         dS=dS_arr, area=jnp.sum(dS_arr), toOE=screen)
     return prepare_wave(prevOE, wave, xglo, yglo, zglo)
 
@@ -319,7 +325,7 @@ def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
         state=jnp.ones((nrays,), jnp.int32),
         path=jnp.zeros((nrays,), dt),
         Jss=jnp.zeros((nrays,), dt), Jpp=jnp.zeros((nrays,), dt),
-        Jsp=jnp.zeros((nrays,), cdt),
+        Jsp=config.czeros((nrays,), cdt),
         dS=jnp.full((nrays,), 1.0, dt) * area / nrays,
         area=area, toOE=aperture)
     return prepare_wave(prevOE, wave, xglo, yglo, zglo)
@@ -365,10 +371,28 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
               path=jnp.zeros((nsamples,), dt),
               Jss=jnp.ones((nsamples,), dt),
               Jpp=jnp.zeros((nsamples,), dt),
-              Jsp=jnp.zeros((nsamples,), config.cdtype()))
+              Jsp=config.czeros((nsamples,)))
     lb = lb.with_amplitudes()
     glo_pts = oe.local_to_global(lb)
-    prevCenter = prevOE.center
+    if hasattr(prevOE, 'rotationSequence'):
+        # the reference puts prevCenter at the middle of the previous OE's
+        # surface limits, traced to the surface (reflect.py:348-365)
+        cx = 0.5 * (prevOE.limPhysX[0] + prevOE.limPhysX[1])
+        cy = 0.5 * (prevOE.limPhysY[0] + prevOE.limPhysY[1])
+        cxa = jnp.asarray([cx], dt)
+        cya = jnp.asarray([cy], dt)
+        if prevOE.isParametric:
+            s0, phi0, _ = prevOE.xyz_to_param(cxa, cya, jnp.zeros(1, dt))
+            r0c = prevOE.local_r(s0, phi0)
+            cza = prevOE.param_to_xyz(s0, phi0, r0c)[2]
+        else:
+            cza = prevOE.local_z(cxa, cya)
+        from .beam import new_beam
+        lbc = new_beam(1, dtype=dt).replace(x=cxa, y=cya, z=cza)
+        lbc = prevOE.local_to_global(lbc)
+        prevCenter = (lbc.x[0], lbc.y[0], lbc.z[0])
+    else:
+        prevCenter = prevOE.center
     a = glo_pts.x - prevCenter[0]
     b = glo_pts.y - prevCenter[1]
     c = glo_pts.z - prevCenter[2]
@@ -378,14 +402,21 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
         x=jnp.full((nsamples,), prevCenter[0], dt),
         y=jnp.full((nsamples,), prevCenter[1], dt),
         z=jnp.full((nsamples,), prevCenter[2], dt))
-    # surface-normal projection factor for the normal area
-    nvec = np.asarray(
-        jax.tree_util.tree_map(np.asarray, rotate_xyz(
-            jnp.zeros(1, dt), jnp.zeros(1, dt), jnp.ones(1, dt),
-            rotationSequence='-' + oe.rotationSequence,
-            pitch=oe._placement()[0], roll=oe._placement()[1],
-            yaw=oe._placement()[2], skip_zero=False)))
-    na = float(prevCenter[0]) * 0  # placeholder, computed below
+    # surface-normal projection factor (reference reflect.py:381-393):
+    # |cos| between the incoming central direction and the global surface
+    # normal at the OE origin; areaNormal = area * that factor is the
+    # aperture area seen by the wave (used by source shine(wave=...))
+    one = jnp.ones(1, dt)
+    zero1 = jnp.zeros(1, dt)
+    from .beam import new_beam as _nb
+    lbn = _nb(1, dtype=dt).replace(b=zero1, c=one)
+    lbn = oe.local_to_global(lbn)
+    an = lbn.x - prevCenter[0]
+    bn = lbn.y - prevCenter[1]
+    cn = lbn.z - prevCenter[2]
+    nrm = jnp.sqrt(an ** 2 + bn ** 2 + cn ** 2)
+    areaNormalFact = jnp.abs(
+        (an * lbn.a[0] + bn * lbn.b[0] + cn * lbn.c[0]) / nrm)[0]
 
     waveGlobal, waveLocal = oe.reflect(lb_in, key)
     good = (waveLocal.state == 1) | (waveLocal.state == 2)
@@ -394,6 +425,7 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
     wave = Wave(**{f: getattr(waveLocal, f)
                    for f in Beam.__dataclass_fields__})
     wave = wave.replace(area=area,
+                        areaNormal=area * areaNormalFact,
                         dS=jnp.ones((nsamples,), dt) * area / ngood,
                         state=jnp.where(good, 1, 0).astype(jnp.int32),
                         toOE=oe)
@@ -477,14 +509,21 @@ def estimate_footprint_area(x, y, good):
     return 0.5 * abs(np.sum(x1 * y2 - x2 * y1))
 
 
-def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
+def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
+             phase_mode='recentred', monochromatic=False) -> Wave:
     """Diffract the surface field *oeLocal* onto the receiving *wave*
     samples (cf. reference diffract, waves.py:606-831).  Pure: returns the
     updated wave (accumulates over repeated calls through the Acc fields).
 
     *oeLocal.area* must be set (host-side
     :func:`estimate_footprint_area` or analytically); a jnp bounding-box
-    estimate is used as fallback."""
+    estimate is used as fallback.
+
+    *phase_mode* selects the float32 phase scheme (see
+    ops/kirchhoff.py): 'recentred' (default, fastest and most accurate
+    for beamline geometries), 'fast' or 'exact' (per-pair double-float
+    distances, robust for arbitrary geometry).  *monochromatic=True*
+    asserts all source samples share one k and saves a few flops."""
     oe = wave.fromOE
     good = oeLocal.state == 1
     w = good.astype(wave.xDiffr.dtype)
@@ -528,7 +567,8 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
         # the naive f32 k*r phase would be meaningless (~1e11 rad)
         from .ops import dd as _dd
         from .ops.kirchhoff import (kirchhoff_integral_dd,
-                                    kirchhoff_integral_pallas)
+                                    kirchhoff_integral_pallas,
+                                    kirchhoff_integral_recentred)
         zero = jnp.zeros_like(wave.xDiffr)
         # k as a double-float from E (1e7/CHBAR as a two-part constant)
         _KC = 1e7 / CHBAR
@@ -538,8 +578,15 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
         kl = kl + oeLocal.E * _KC_LO
         use_kernel = use_pallas if use_pallas != 'auto' \
             else jax.default_backend() == 'tpu'
-        kfn = kirchhoff_integral_pallas if use_kernel \
-            else kirchhoff_integral_dd
+        if use_kernel:
+            kfn = functools.partial(kirchhoff_integral_pallas,
+                                    phase_mode=phase_mode,
+                                    monochromatic=monochromatic)
+        elif phase_mode == 'recentred':
+            kfn = functools.partial(kirchhoff_integral_recentred,
+                                    monochromatic=monochromatic)
+        else:
+            kfn = kirchhoff_integral_dd
 
         def lo_of(v, lo):
             return zero if lo is None else lo
@@ -581,7 +628,10 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto') -> Wave:
         toRealComp = jnp.where(useC, cEacc, bEacc)
     else:
         toRealComp = bEacc
-    toReal = jnp.exp(-1j * jnp.angle(toRealComp))
+    ang = jnp.angle(toRealComp)
+    # exp(-i*ang) via lax.complex: avoids a complex host constant, which
+    # some TPU transports cannot transfer in eager mode
+    toReal = jax.lax.complex(jnp.cos(ang), -jnp.sin(ang))
     a = (aEacc * toReal).real
     b = (bEacc * toReal).real
     c = (cEacc * toReal).real
