@@ -371,14 +371,12 @@ class _OEMethods:
         pitch, roll, yaw, dx, dy, dz = self._placement()
         nRefl = jnp.zeros_like(beam.state)
         good = good_in
-        lb_keep = lb
-        out_local = None
-        for iRefl in range(maxReflections):
-            keyi = jax.random.fold_in(key, iRefl)
+
+        def one_bounce(lb, good, nRefl, out_local, keyi, isMulti):
             prev = lb
             vlb, loc = self._reflect_local(
                 lb, good, keyi, pitch, roll, yaw, dx, dy, dz,
-                isMulti=(iRefl > 0))
+                isMulti=isMulti)
             over = vlb.state == 3
             # rays that flew over keep their pre-step coordinates
             # (reflect.py:226-229)
@@ -393,7 +391,25 @@ class _OEMethods:
                 out_local = loc
             else:
                 out_local = _merge_by_mask(out_local, loc, newGood)
-            good = newGood
+            return lb, newGood, nRefl, out_local
+
+        # first bounce traced separately (isMulti=False picks the forward
+        # intersection bracket), then ONE scanned body for the rest — the
+        # jaxpr holds a single copy of the reflect body instead of
+        # maxReflections unrolled ones (compile time/code size for
+        # capillaries)
+        lb, good, nRefl, out_local = one_bounce(
+            lb, good, nRefl, None, jax.random.fold_in(key, 0), False)
+
+        def body(carry, i):
+            lb, good, nRefl, out_local = carry
+            return one_bounce(lb, good, nRefl, out_local,
+                              jax.random.fold_in(key, i), True), None
+
+        if maxReflections > 1:
+            (lb, good, nRefl, out_local), _ = jax.lax.scan(
+                body, (lb, good, nRefl, out_local),
+                jnp.arange(1, maxReflections))
         reflected = nRefl > 0
         glo = virgin_local_to_global(lb, self.center)
         merged = _merge_by_mask(beam, glo, good_in & reflected)

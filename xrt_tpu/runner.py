@@ -384,6 +384,53 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
     else:
         gen = None
 
+    # Compiled-step cache across scan points (cf. the reference's repeated
+    # worker dispatch, runner.py:252): the beamline elements enter the
+    # jitted step as ARGUMENTS (installed into the beamLine only during
+    # tracing), so a generator that tweaks element parameters between scan
+    # points hits the jit cache instead of re-tracing/re-compiling; the
+    # cache is keyed on the plots' limits, which are baked into the
+    # histogram code as constants.
+    step_cache = {}
+
+    def _limits_key():
+        def lim(v):
+            if v is None or isinstance(v, str):
+                return v
+            return (float(v[0]), float(v[1]))
+        return tuple((lim(p.xaxis.limits), lim(p.yaxis.limits),
+                      lim(p.caxis.limits), p.xaxis.bins, p.yaxis.bins,
+                      p.caxis.bins) for p in plots)
+
+    def _make_step():
+        @jax.jit
+        def step(elements, key):
+            saved = None
+            if beamLine is not None and elements is not None:
+                saved = dict(beamLine._elements)
+                for n, el in elements.items():
+                    beamLine.update(n, el)
+            try:
+                beams = run_process(beamLine, key)
+                return [histogram_plot(plot, beams) for plot in plots]
+            finally:
+                if saved is not None:
+                    for n, el in saved.items():
+                        beamLine.update(n, el)
+        return step
+
+    def _get_step():
+        # without a beamLine the scan state lives in user closures, which
+        # are baked into the trace as constants — caching across scan
+        # points would silently reuse the first point's values, so each
+        # point gets a fresh jit (the pre-cache behavior)
+        if beamLine is None or not getattr(beamLine, '_elements', None):
+            return _make_step()
+        lk = _limits_key()
+        if lk not in step_cache:
+            step_cache[lk] = _make_step()
+        return step_cache[lk]
+
     def one_scan_point(key):
         # restore persistent accumulations if requested
         for plot in plots:
@@ -400,10 +447,10 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
             beams0 = run_process(beamLine, sub)
             calibrate_limits(plots, beams0)
 
-        @jax.jit
-        def step(key):
-            beams = run_process(beamLine, key)
-            return [histogram_plot(plot, beams) for plot in plots]
+        step = _get_step()
+        elements = dict(beamLine._elements) \
+            if beamLine is not None and getattr(beamLine, '_elements', None) \
+            else None
 
         t0 = time.time()
         for it in range(repeats):
@@ -412,7 +459,7 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
                 from .parallel import sharded_step
                 hists = sharded_step(run_process, beamLine, plots, mesh, sub)
             else:
-                hists = step(sub)
+                hists = step(elements, sub)
             for plot, h in zip(plots, hists):
                 _accumulate(plot, h)
             if pickleEvery and (it + 1) % pickleEvery == 0:
