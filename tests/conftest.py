@@ -15,6 +15,10 @@ import os
 import subprocess
 import sys
 
+# stash the ambient platform so device tests (test_tpu_f32_accuracy) can
+# restore it in their subprocesses after we force CPU here
+os.environ.setdefault('XRT_TPU_AMBIENT_JAX_PLATFORMS',
+                      os.environ.get('JAX_PLATFORMS', ''))
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402

@@ -1,0 +1,307 @@
+"""On-device float32 accuracy for every benched path (VERDICT r1 item 2).
+
+The performance numbers in bench.py are measured on the TPU in float32;
+the golden physics suite runs on CPU in float64.  This module closes the
+gap: each benched workload is computed twice at matched seeds —
+
+- *truth*: in-process (CPU, x64 on — the same configuration as the golden
+  suite);
+- *device*: a subprocess with the ambient backend (the real TPU chip,
+  float32), which saves raw arrays to an npz file;
+
+and the device result must reproduce the truth to the stated tolerances.
+This is the TPU analog of the reference's precision policy, which forces
+float64 for the near-field/wave paths
+(reference sybase.py:1093-1095) — here the f32 paths carry the precision
+through phase wrapping (undulator near field), double-float geometry
+(Kirchhoff, ops/dd.py) and recentred phases (ops/kirchhoff.py), and this
+test asserts that those schemes actually deliver f64-grade physics.
+
+Skipped when no TPU is reachable (CI/CPU-only hosts).
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ----------------------------------------------------------------------
+# workloads (run under either backend/dtype; return dicts of np arrays)
+# ----------------------------------------------------------------------
+
+TRACE_NRAYS = 200000
+
+
+def workload_trace():
+    """The bench_trace geometry: MC geometric source -> toroid Si mirror ->
+    screen; image moments + flux."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.sources import GeometricSource
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.oes import ToroidMirror
+    import xrt_tpu.materials as xm
+
+    pitch = 4e-3
+    p, q = 10000.0, 2000.0
+    mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+    src = GeometricSource.create(
+        nrays=TRACE_NRAYS, center=(0, 0, 0), dx=0.1, dz=0.05,
+        dxprime=3e-5, dzprime=3e-5, distE='flat',
+        energies=(8900.0, 9100.0), polarization='horizontal')
+    R = 2 * p * q / (p + q) / math.sin(pitch)
+    r = 2 * p * q / (p + q) * math.sin(pitch)
+    mirror = ToroidMirror.create(center=(0, p, 0), pitch=pitch, R=R, r=r,
+                                 material=mat, limPhysX=(-20, 20),
+                                 limPhysY=(-300, 300))
+    screen = Screen.create(center=(0, p + q, 2 * pitch * q))
+
+    @jax.jit
+    def step(key):
+        beam = src.shine(key)
+        glo, _ = mirror.reflect(beam, key)
+        img = screen.expose(glo)
+        w = jnp.where(img.state == 1, img.Jss + img.Jpp, 0.0)
+        tot = jnp.sum(w)
+        cx = jnp.sum(w * img.x) / tot
+        cz = jnp.sum(w * img.z) / tot
+        sx = jnp.sqrt(jnp.sum(w * (img.x - cx) ** 2) / tot)
+        sz = jnp.sqrt(jnp.sum(w * (img.z - cz) ** 2) / tot)
+        return jnp.stack([tot, cx, cz, sx, sz])
+
+    out = np.asarray(step(jax.random.PRNGKey(7)), np.float64)
+    return {'trace': out}
+
+
+UND_KW = dict(eE=6.0, eI=0.1, eEpsilonX=1.0, eEpsilonZ=0.01,
+              betaX=9., betaZ=2., period=33.0, n=50, K=1.5,
+              eMin=9000, eMax=9600, xPrimeMax=0.03, zPrimeMax=0.03,
+              gNodes=402, gIntervals=2)
+UND_E = 9292.0          # ~half a natural bandwidth below the 3rd harmonic
+UND_NF_R0 = 20000.0     # mm
+
+
+def _und_grid():
+    th = np.linspace(-2.4e-5, 2.4e-5, 41)
+    ps = np.linspace(-1.8e-5, 1.8e-5, 33)
+    T, P = np.meshgrid(th, ps, indexing='ij')
+    return T.ravel(), P.ravel()
+
+
+def workload_undulator(mode):
+    """Deterministic far/taper/near-field intensity + s-amplitude maps on a
+    fixed (theta, psi) grid at fixed E (no MC, eEspread=0): the pure
+    radiation-integral accuracy at ~800 quadrature nodes."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.sources import Undulator
+
+    kw = dict(UND_KW)
+    if mode == 'taper':
+        kw['taper'] = (1.0, 8.0)
+    elif mode == 'near':
+        kw['R0'] = UND_NF_R0
+    und = Undulator.create(nrays=16, **kw)
+    th, ps = _und_grid()
+
+    @jax.jit
+    def imap(th, ps):
+        w = jnp.full(th.shape, UND_E, th.dtype)
+        flux, amps, ampp = und.build_I_map(jax.random.PRNGKey(0), w, th, ps)
+        return flux, amps.real, amps.imag
+
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    flux, ar, ai = imap(jnp.asarray(th, dt), jnp.asarray(ps, dt))
+    return {f'und_{mode}_I': np.asarray(flux, np.float64),
+            f'und_{mode}_re': np.asarray(ar, np.float64),
+            f'und_{mode}_im': np.asarray(ai, np.float64)}
+
+
+KIR_N = 4000
+
+
+def workload_kirchhoff():
+    """Double-slit Fresnel-Kirchhoff propagation through the public API
+    (slit samples -> tilted screen 10 m away); the fringe field.  On TPU
+    this exercises the Pallas recentred kernel + double-float geometry; on
+    CPU f64 the XLA reference path."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu import config
+    from xrt_tpu.physconsts import CH
+    from xrt_tpu.apertures import RectangularAperture
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.waves import prepare_wave_on_screen, diffract, Wave
+
+    E0 = 9000.0
+    d, sep, L = 0.05, 0.4, 10000.0
+    lam = CH / E0 * 1e-7
+    n = KIR_N
+    rng = np.random.default_rng(0)
+    z_src = np.concatenate([
+        rng.uniform(-sep / 2 - d / 2, -sep / 2 + d / 2, n // 2),
+        rng.uniform(sep / 2 - d / 2, sep / 2 + d / 2, n // 2)])
+    x_src = rng.uniform(-0.5, 0.5, n)
+    dt = config.dtype()
+    zero = jnp.zeros((n,), dt)
+    one = jnp.ones((n,), dt)
+    src = Wave(
+        x=jnp.asarray(x_src, dt), y=zero, z=jnp.asarray(z_src, dt),
+        a=zero, b=one, c=zero,
+        E=jnp.full((n,), E0, dt), state=jnp.ones((n,), jnp.int32),
+        path=zero, Jss=one, Jpp=zero,
+        Jsp=config.czeros((n,)),
+        Es=jax.lax.complex(one, zero).astype(config.cdtype()),
+        Ep=config.czeros((n,)),
+        area=jnp.asarray(1.0 * 2 * d, dt))
+    slit = RectangularAperture.create(center=(0, 0, 0),
+                                      opening=(-0.5, 0.5, -0.5, 0.5))
+    tilt = 0.3
+    screen = Screen.create(center=(0, L, 0),
+                           z=(0, -math.sin(tilt), math.cos(tilt)))
+    period = lam * L / sep
+    zmax = 3 * period / math.cos(tilt)
+    zs = np.linspace(-zmax, zmax, 241)
+    wave = prepare_wave_on_screen(screen, slit, np.asarray([0.0]), zs)
+    out = diffract(src, wave)
+    return {'kir_re': np.asarray(out.Es.real, np.float64),
+            'kir_im': np.asarray(out.Es.imag, np.float64)}
+
+
+def run_all():
+    res = {}
+    res.update(workload_trace())
+    for mode in ('far', 'taper', 'near'):
+        res.update(workload_undulator(mode))
+    res.update(workload_kirchhoff())
+    return res
+
+
+def run_device(outfile):
+    import jax
+    plat = jax.devices()[0].platform
+    res = run_all()
+    res['platform'] = np.asarray(plat)
+    np.savez(outfile, **res)
+    print('DEVICE OK', plat)
+
+
+# ----------------------------------------------------------------------
+# pytest side
+# ----------------------------------------------------------------------
+
+def _device_env():
+    """Subprocess env with the *ambient* jax platform (the TPU tunnel)
+    restored: conftest.py forces JAX_PLATFORMS=cpu for the golden suite and
+    stashes the original value.  PYTHONPATH is left alone — it carries the
+    tunnel plugin's sitecustomize."""
+    env = dict(os.environ)
+    ambient = env.pop('XRT_TPU_AMBIENT_JAX_PLATFORMS', None)
+    if ambient is not None:
+        if ambient:
+            env['JAX_PLATFORMS'] = ambient
+        else:
+            env.pop('JAX_PLATFORMS', None)
+    env.pop('JAX_ENABLE_X64', None)
+    return env
+
+
+def _tpu_available():
+    r = subprocess.run(
+        [sys.executable, '-c',
+         'import jax; print(jax.devices()[0].platform)'],
+        capture_output=True, text=True, timeout=300,
+        env=_device_env(), cwd=REPO)
+    return r.returncode == 0 and 'tpu' in r.stdout
+
+
+try:
+    import pytest
+except ImportError:        # direct __main__ execution on the device
+    pytest = None
+
+
+if pytest is not None:
+    @pytest.fixture(scope='session')
+    def device_results(tmp_path_factory):
+        if os.environ.get('XRT_TPU_SKIP_DEVICE_TESTS'):
+            pytest.skip('device tests disabled by env')
+        if not _tpu_available():
+            pytest.skip('no TPU reachable')
+        out = tmp_path_factory.mktemp('tpu_f32') / 'device.npz'
+        code = (
+            'import sys; sys.path.insert(0, %r); sys.path.insert(0, %r); '
+            'import test_tpu_f32_accuracy as m; m.run_device(%r)'
+            % (REPO, os.path.join(REPO, 'tests'), str(out)))
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, text=True, timeout=1500,
+                           env=_device_env(), cwd=REPO)
+        assert r.returncode == 0, \
+            f'device run failed:\n{r.stdout}\n{r.stderr}'
+        return np.load(out)
+
+    @pytest.fixture(scope='session')
+    def truth_results():
+        return run_all()
+
+    def test_trace_f32_moments(device_results, truth_results):
+        dev = device_results['trace']
+        tru = truth_results['trace']
+        flux_d, cx_d, cz_d, sx_d, sz_d = dev
+        flux_t, cx_t, cz_t, sx_t, sz_t = tru
+        # same key => (nearly) the same draws; MC noise cancels.
+        # measured on v5e (2026-08): flux 2.6e-3, cx/sx 2.4e-3, cz/sz
+        # 7.6e-4, sx 5.2e-4, sz 4.6e-3
+        assert abs(flux_d / flux_t - 1) < 1e-2
+        assert abs(cx_d - cx_t) < 1e-2 * sx_t
+        assert abs(cz_d - cz_t) < 1e-2 * sz_t
+        assert abs(sx_d / sx_t - 1) < 2e-2
+        assert abs(sz_d / sz_t - 1) < 2e-2
+
+    # measured f32-vs-f64 (CPU, 2026-08, after the cancellation-free
+    # 1-n.beta / 1-betam regroupings): far 3.3e-5 / 2.2e-5, taper 7.8e-6 /
+    # 2.8e-7, near 1.0e-5 / 1.1e-6 (field rms / flux-sum rel)
+    @pytest.mark.parametrize('mode,tol_amp,tol_flux', [
+        ('far', 1e-4, 1e-3),
+        ('taper', 1e-4, 1e-3),
+        ('near', 1e-4, 1e-3),
+    ])
+    def test_undulator_f32_field(device_results, truth_results,
+                                 mode, tol_amp, tol_flux):
+        I_d = device_results[f'und_{mode}_I']
+        I_t = truth_results[f'und_{mode}_I']
+        A_d = device_results[f'und_{mode}_re'] + \
+            1j * device_results[f'und_{mode}_im']
+        A_t = truth_results[f'und_{mode}_re'] + \
+            1j * truth_results[f'und_{mode}_im']
+        # flux: total and pointwise (relative to the map peak)
+        assert abs(I_d.sum() / I_t.sum() - 1) < tol_flux
+        assert np.max(np.abs(I_d - I_t)) / I_t.max() < 10 * tol_flux
+        # complex amplitude incl. phase: rms deviation over the map,
+        # normalized by the rms amplitude (one global phase removed)
+        D = A_d * np.conj(A_t)
+        g = D.sum()
+        A_d = A_d * np.exp(-1j * np.angle(g))
+        err = np.sqrt(np.mean(np.abs(A_d - A_t) ** 2) /
+                      np.mean(np.abs(A_t) ** 2))
+        assert err < 10 * tol_amp, f'{mode}: rel field rms {err}'
+
+    def test_kirchhoff_f32_fringes(device_results, truth_results):
+        E_d = device_results['kir_re'] + 1j * device_results['kir_im']
+        E_t = truth_results['kir_re'] + 1j * truth_results['kir_im']
+        I_d, I_t = np.abs(E_d) ** 2, np.abs(E_t) ** 2
+        keep = I_t > 0.2 * I_t.max()
+        # intensity pattern (fringe visibility/shape)
+        assert np.max(np.abs(I_d - I_t)[keep]) / I_t.max() < 2e-2
+        # field phase after removing one global phase
+        D = E_d[keep] * np.conj(E_t[keep])
+        D = D * np.exp(-1j * np.angle(D.sum()))
+        assert np.std(np.angle(D)) < 0.05
+
+
+if __name__ == '__main__':
+    run_device(sys.argv[1] if len(sys.argv) > 1 else 'device_f32.npz')

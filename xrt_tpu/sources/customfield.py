@@ -219,17 +219,23 @@ class SourceFromField(_SynchrotronBase):
             eucos = (sinphz * cosphxy - cosphz * sinphxy) + \
                 1j * (cosphz * cosphxy + sinphz * sinphxy)
             smTerm = revgamma2[:, None] + betax_ ** 2 + betay_ ** 2
-            betaz = 1 - 0.5 * smTerm - 0.125 * smTerm ** 2 - \
-                0.0625 * smTerm ** 3
+            # B1m := 1 - betaz kept exactly (float32: forming betaz ~ 1 and
+            # subtracting later would cancel the ~1e-8 result to zero)
+            B1m = 0.5 * smTerm + 0.125 * smTerm ** 2 + 0.0625 * smTerm ** 3
+            betaz = 1 - B1m
             betaPx = betay_ * Bz[None, :] - betaz * By[None, :]
             betaPy = -betax_ * Bz[None, :] + betaz * Bx[None, :]
             betaPz = betax_ * By[None, :] - betay_ * Bx[None, :]
-            rkrel = 1. / (1. - dirx[:, None] * betax_ -
-                          diry[:, None] * betay_ - dirz[:, None] * betaz)
+            # 1 - dirz = (theta^2+psi^2)/(1+dirz) exactly
+            # (dirz = sqrt(1-theta^2-psi^2))
+            A1m = ((ddtheta ** 2 + ddpsi ** 2) / (1. + dirz))[:, None]
+            one_minus_nb = (B1m + betaz * A1m -
+                            dirx[:, None] * betax_ - diry[:, None] * betay_)
+            rkrel = 1. / one_minus_nb
             eucos = eucos * ag[None, :] * rkrel ** 2
             bnx = dirx[:, None] - betax_
             bny = diry[:, None] - betay_
-            bnz = dirz[:, None] - betaz
+            bnz = B1m - A1m
             dirDotBetaP = dirx[:, None] * betaPx + diry[:, None] * betaPy \
                 + dirz[:, None] * betaPz
             dirDotDmB = dirx[:, None] * bnx + diry[:, None] * bny + \

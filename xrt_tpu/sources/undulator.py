@@ -256,7 +256,11 @@ class Undulator(_SynchrotronBase):
         Ky = self.Ky
         revgamma = 1.0 / gamma
         revgamma2 = revgamma ** 2
-        betam = 1. - (1. + 0.5 * Kx ** 2 + 0.5 * Ky ** 2) * 0.5 * revgamma2
+        # 1 - betam kept as its own quantity: ~1e-8, so betam itself rounds
+        # to 1.0 in float32 and any later (1 - betam) would be exactly 0
+        one_minus_betam = (1. + 0.5 * Kx ** 2 + 0.5 * Ky ** 2) * \
+            0.5 * revgamma2
+        betam = 1. - one_minus_betam
         wwuS = w / wu
 
         dirx = ddphi
@@ -311,6 +315,7 @@ class Undulator(_SynchrotronBase):
                 eucos = jnp.exp(1j * ucos)
             elif nearField:
                 betam_ = betam[:, None]
+                omb_ = one_minus_betam[:, None]
                 zterm = 0.5 * (Ky ** 2 * sin2x + Kx ** 2 * sin2xph) * rg
                 rlocx = Ky * sinx * rg
                 rlocy = Kx * sinxph * rg
@@ -321,8 +326,8 @@ class Undulator(_SynchrotronBase):
                 dist = jnp.sqrt(drx ** 2 + dry ** 2 + drz ** 2)
                 drs = 0.5 * (drx ** 2 + dry ** 2) / drz
                 # phase computed with wrapped arguments (synchr.py:1824-1842)
-                sinzloc = jnp.sin(wwu * zloc * (1. - betam_))
-                coszloc = jnp.cos(wwu * zloc * (1. - betam_))
+                sinzloc = jnp.sin(wwu * zloc * omb_)
+                coszloc = jnp.cos(wwu * zloc * omb_)
                 sindrs = jnp.sin(wwu * (drs + 0.25 * zterm * rg))
                 cosdrs = jnp.cos(wwu * (drs + 0.25 * zterm * rg))
                 sz = sinr0z[:, None]
@@ -343,7 +348,11 @@ class Undulator(_SynchrotronBase):
 
             betax = taperC * Ky * rg * cosx
             betay = -Kx * rg * cosxph
-            betaz = 1. - 0.5 * (rg2 + betax * betax + betay * betay)
+            # B := 1 - betaz exactly; betaz = 1 - B is never formed, because
+            # in float32 the downstream 1 - dir.beta (~1e-8) would cancel to
+            # zero digits against operands of order 1 (rkrel -> inf/NaN).
+            B1m = 0.5 * (rg2 + betax * betax + betay * betay)
+            betaz = 1. - B1m
             if taper:
                 betaPx = -Ky * (alphaS * cosx + taperC * sinx)
                 betaPz = 0.5 * rg * (
@@ -355,11 +364,27 @@ class Undulator(_SynchrotronBase):
                 betaPz = 0.5 * rg * (Ky ** 2 * sin2x + Kx ** 2 * sin2xph)
             betaPy = Kx * sinxph
 
-            rkrel = 1. / (1. - dx_ * betax - dy_ * betay - dz_ * betaz)
+            # 1 - dir.beta and dirz - betaz, regrouped exactly so the ~1e-8
+            # results come from products of small well-scaled terms instead
+            # of differences of numbers ~1 (float32-safe; the naive forms
+            # cancel to 0 -> rkrel = inf -> NaN on TPU).
+            if nearField:
+                # dir = dr/dist; 1 - dirz = (drx^2+dry^2)/(dist*(dist+drz))
+                t2 = (drx ** 2 + dry ** 2) / (dist * (dist + drz))
+                one_minus_nb = (B1m + betaz * t2 -
+                                (drx * betax + dry * betay) / dist)
+                bnz = B1m - t2
+            else:
+                # dirz = 1 - A1m with A1m = (theta^2+psi^2)/2:
+                # 1 - dir.beta = [rg2 + (dx-bx)^2 + (dy-by)^2]/2 - A1m*B1m
+                A1m = 0.5 * (dx_ ** 2 + dy_ ** 2)
+                one_minus_nb = (0.5 * (rg2 + (dx_ - betax) ** 2 +
+                                       (dy_ - betay) ** 2) - A1m * B1m)
+                bnz = B1m - A1m
+            rkrel = 1. / one_minus_nb
             eucos = eucos * ag[None, :] * rkrel ** 2
             bnx = dx_ - betax
             bny = dy_ - betay
-            bnz = dz_ - betaz
             dirDotBetaP = dx_ * betaPx + dy_ * betaPy + dz_ * betaPz
             dirDotDmB = dx_ * bnx + dy_ * bny + dz_ * bnz
             Bs = jnp.sum(eucos * (bnx * dirDotBetaP - betaPx * dirDotDmB),
@@ -419,7 +444,8 @@ class Undulator(_SynchrotronBase):
             ab = 1. / PI2 / wu
         else:
             sinw = jnp.sin(PI * ww1)
-            sinw = jnp.where(jnp.abs(sinw) < 1e-300, 1e-300, sinw)
+            tiny = jnp.asarray(jnp.finfo(sinw.dtype).tiny, sinw.dtype)
+            sinw = jnp.where(jnp.abs(sinw) < tiny, tiny, sinw)
             ab = 1. / PI2 / wu * jnp.sin(PI * self.Np * ww1) / sinw
 
         Is, Ip = self._integrate(ww1, w, wu, gamma, ddtheta, ddpsi)
