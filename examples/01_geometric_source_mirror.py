@@ -15,6 +15,10 @@ import math
 
 import jax
 
+SMOKE = bool(os.environ.get('XRT_TPU_SMOKE'))
+NRAYS = 2000 if SMOKE else 100000
+REPEATS = 1 if SMOKE else 4
+
 import xrt_tpu.materials as xm
 from xrt_tpu.sources import GeometricSource
 from xrt_tpu.oes import ToroidMirror
@@ -29,7 +33,7 @@ PITCH = 4e-3
 
 def build():
     src = GeometricSource.create(
-        nrays=100000, dx=0.1, dz=0.05, dxprime=3e-5, dzprime=3e-5,
+        nrays=NRAYS, dx=0.1, dz=0.05, dxprime=3e-5, dzprime=3e-5,
         distE='flat', energies=(E0 - 100, E0 + 100),
         polarization='horizontal')
     R = 2 * P * Q / (P + Q) / math.sin(PITCH)
@@ -57,16 +61,16 @@ def main():
                 yaxis=XYCAxis('z', 'mm', limits=(-1, 1)),
                 caxis=XYCAxis('energy', 'eV',
                               limits=(E0 - 100, E0 + 100)),
-                saveName='01_screen.png'),
+                saveName=None if SMOKE else '01_screen.png'),
         XYCPlot(beam='footprint',
                 xaxis=XYCAxis('x', 'mm', limits=(-22, 22)),
                 yaxis=XYCAxis('y', 'mm', limits=(-320, 320)),
                 caxis=XYCAxis('energy', 'eV',
                               limits=(E0 - 100, E0 + 100)),
-                saveName='01_footprint.png'),
+                saveName=None if SMOKE else '01_footprint.png'),
     ]
-    run_ray_tracing(plots, repeats=4, run_process=run_process,
-                    key=jax.random.PRNGKey(0), verbose=True)
+    run_ray_tracing(plots, repeats=REPEATS, run_process=run_process,
+                    key=jax.random.PRNGKey(0), verbose=not SMOKE)
     p = plots[0]
     print(f'screen: flux={p.intensity:.4g}, nGood={p.nRaysGood}, '
           f'dx={p.dx:.4g} mm, dz={p.dy:.4g} mm')

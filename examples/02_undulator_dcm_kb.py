@@ -13,6 +13,12 @@ from xrt_tpu.config import select_platform
 select_platform()  # set XRT_TPU_PLATFORM=cpu to run off-TPU
 
 import math
+import os as _os
+
+SMOKE = bool(_os.environ.get('XRT_TPU_SMOKE'))
+NRAYS = 2000 if SMOKE else 50000
+REPEATS = 1 if SMOKE else 2
+
 
 import jax
 import numpy as np
@@ -32,7 +38,7 @@ PITCH = 3.5e-3
 
 def build():
     und = Undulator.create(
-        nrays=50000, eE=3.0, eI=0.5, period=18.0, n=111, targetE=(E0, 7),
+        nrays=NRAYS, eE=3.0, eI=0.5, period=18.0, n=111, targetE=(E0, 7),
         eEpsilonX=0.263, eEpsilonZ=0.008, betaX=9.0, betaZ=2.0,
         eMin=E0 - 40, eMax=E0 + 40, xPrimeMax=0.02, zPrimeMax=0.02)
     bl = BeamLine(alignE=E0)
@@ -73,7 +79,7 @@ def main():
                                  offset=float(sp[2])),
                    caxis=XYCAxis('energy', 'eV', limits=(E0 - 3, E0 + 3)),
                    saveName='02_focus.png')
-    run_ray_tracing([plot], repeats=2, run_process=run_process,
+    run_ray_tracing([plot], repeats=REPEATS, run_process=run_process,
                     key=jax.random.PRNGKey(0), verbose=True)
     print(f'focus: flux={plot.intensity:.4g}, '
           f'FWHM x={plot.dx:.3g} um, z={plot.dy:.3g} um')

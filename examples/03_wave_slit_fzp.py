@@ -11,6 +11,10 @@ from xrt_tpu.config import select_platform
 select_platform()  # set XRT_TPU_PLATFORM=cpu to run off-TPU
 
 import math
+import os as _os
+
+SMOKE = bool(_os.environ.get('XRT_TPU_SMOKE'))
+
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +48,13 @@ def main():
                            order=1)
 
     # coherent filament field at the slit
-    wave_slit = prepare_wave_on_aperture(slit, und, 2000,
+    wave_slit = prepare_wave_on_aperture(slit, und, 500 if SMOKE else 2000,
                                          key=jax.random.PRNGKey(0))
     wave_slit = und.shine_wave(jax.random.PRNGKey(1), wave_slit,
                                fixedEnergy=E0)
 
     # slit -> FZP
-    wave_fzp = prepare_wave_on_oe(fzp, slit, 8000,
+    wave_fzp = prepare_wave_on_oe(fzp, slit, 2000 if SMOKE else 8000,
                                   key=jax.random.PRNGKey(2))
     src = wave_slit.replace(state=jnp.ones_like(wave_slit.state))
     wave_fzp = diffract(src, wave_fzp)
@@ -62,7 +66,7 @@ def main():
     # FZP -> focal plane
     screen = Screen.create(center=(0, 27000.0 + F, 0))
     rN = float(np.sqrt(60 * F * lam))
-    zs = np.linspace(-0.15 * rN, 0.15 * rN, 301)
+    zs = np.linspace(-0.15 * rN, 0.15 * rN, 101 if SMOKE else 301)
     wave_focus = prepare_wave_on_screen(screen, fzp, np.asarray([0.0]), zs)
     out = diffract(masked, wave_focus)
     I = np.asarray(out.Jss + out.Jpp)

@@ -159,6 +159,12 @@ class RectangularAperture(_ApertureBase):
                    bottom=jnp.asarray(blades.get('bottom', -inf), dt),
                    top=jnp.asarray(blades.get('top', inf), dt))
 
+    def _export_params(self):
+        """(drop, extra) for beamline._element_params: the four blades
+        serialize as the create() 'opening' list."""
+        return (), {'opening': [float(self.left), float(self.right),
+                                float(self.bottom), float(self.top)]}
+
     def inside(self, x, z):
         return (x >= self.left) & (x <= self.right) & \
                (z >= self.bottom) & (z <= self.top)
@@ -300,6 +306,14 @@ class DoubleSlit(_ApertureBase):
                    shadeLeft=jnp.asarray(le + shadeFraction[0] * width, dt),
                    shadeRight=jnp.asarray(le + shadeFraction[1] * width, dt))
 
+    def _export_params(self):
+        le, ri = float(self.left), float(self.right)
+        width = ri - le
+        return (), {
+            'opening': [le, ri, float(self.bottom), float(self.top)],
+            'shadeFraction': [(float(self.shadeLeft) - le) / width,
+                              (float(self.shadeRight) - le) / width]}
+
     def inside(self, x, z):
         inRect = (x >= self.left) & (x <= self.right) & \
                  (z >= self.bottom) & (z <= self.top)
@@ -322,6 +336,9 @@ class PolygonalAperture(_ApertureBase):
         return cls(center=jnp.asarray(center, dt), ex=ex, ez=ez, name=name,
                    isBeamStop=isBeamStop,
                    vertices=jnp.asarray(opening, dt))
+
+    def _export_params(self):
+        return (), {'opening': np.asarray(self.vertices).tolist()}
 
     def inside(self, x, z):
         v = self.vertices

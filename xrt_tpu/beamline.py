@@ -367,26 +367,62 @@ def _local_to_global_aperture(aperture, lo):
     return lo.replace(x=gx, y=gy, z=gz, a=ga, b=gb, c=gc)
 
 
+def _create_signature_names(cls):
+    """Union of parameter names accepted by create() across the MRO (a
+    subclass create forwards **kwargs to its parents)."""
+    import inspect
+    names = set()
+    for c in cls.__mro__:
+        fn = c.__dict__.get('create')
+        if fn is None:
+            continue
+        fn = getattr(fn, '__func__', fn)
+        for p in inspect.signature(fn).parameters.values():
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
+                names.add(p.name)
+    names.discard('cls')
+    names.discard('kwargs')
+    return names
+
+
 def _element_params(el):
-    """Numeric (JSON-serializable) parameters of a pytree element."""
+    """JSON-serializable creation parameters of a pytree element: the
+    fields whose (renamed) name create() actually accepts, overlaid with
+    the element's recorded user-facing createArgs (for classes that derive
+    their fields, e.g. parametric conics) and the class's _export_params
+    hook (for composite params, e.g. aperture blade openings)."""
+    cls = type(el)
+    accepted = _create_signature_names(cls)
     out = {}
-    for fname, fdef in type(el).__dataclass_fields__.items():
+    for fname in cls.__dataclass_fields__:
         val = getattr(el, fname)
         if val is None:
             continue
-        if fname in ('material', 'material2', 'figure_error'):
+        if fname in ('material', 'material2', 'figure_error',
+                     'createArgs'):
+            continue
+        cname = _create_name(cls, fname)
+        if cname not in accepted:
             continue
         if hasattr(val, 'tolist'):
-            v = val.tolist()
-            out[_create_name(type(el), fname)] = v
+            out[cname] = val.tolist()
         elif isinstance(val, (int, float, str, bool, tuple, list)):
-            out[_create_name(type(el), fname)] = \
-                list(val) if isinstance(val, tuple) else val
+            out[cname] = list(val) if isinstance(val, tuple) else val
+    ca = getattr(el, 'createArgs', None)
+    if ca:
+        out.update(dict(ca))
+    hook = getattr(el, '_export_params', None)
+    if hook is not None:
+        drop, extra = hook()
+        for k in drop:
+            out.pop(k, None)
+        out.update(extra)
     return out
 
 
 _RENAMES = {'bragg_': 'bragg', 'braggAngle': 'bragg', 'E0': 'E',
-            'theta_c': 'theta', 'b_': 'b', 'ex': 'x', 'ez': 'z'}
+            'theta_c': 'theta', 'b_': 'b', 'ex': 'x', 'ez': 'z',
+            'f2Virtual': 'f2isVirtual'}
 
 
 def _create_name(cls, fname):

@@ -1026,6 +1026,10 @@ class OE(_OEMethods):
     auto_material_kind: str = struct.field(pytree_node=False,
                                            default='mirror')
     overEdge: str = struct.field(pytree_node=False, default='ymax')
+    # user-facing creation args for classes whose fields are derived from
+    # them (parametric conics): a tuple of (name, value) pairs consumed by
+    # beamline._element_params for JSON round-trips
+    createArgs: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, name='', center=(0, 0, 0), pitch=0.0, roll=0.0, yaw=0.0,

@@ -66,6 +66,9 @@ class EllipticalMirrorParam(_ConicParamMethods, OE):
                            (p + q) * math.cos(absPitch))
         return super(EllipticalMirrorParam, cls).create(
             pitch=pitch,
+            createArgs=(('p', float(p)), ('q', float(q)),
+                        ('isCylindrical', bool(isCylindrical)),
+                        ('isClosed', bool(isClosed))),
             ellipseA=jnp.asarray((q + p) / 2.0, dt),
             ellipseB=jnp.asarray(math.sqrt(q * p) * math.sin(absPitch), dt),
             y0=jnp.asarray((q - p) / 2.0 * math.cos(absPitch), dt),
@@ -132,8 +135,11 @@ class ParabolicalMirrorParam(_ConicParamMethods, OE):
             z0 = p * math.sin(absPitch)
             parabParam = p * math.sin(absPitch) ** 2
             gamma = -absPitch
+        ca = (('q', float(q)),) if p is None else (('p', float(p)),)
         return super(ParabolicalMirrorParam, cls).create(
             pitch=pitch,
+            createArgs=ca + (('isCylindrical', bool(isCylindrical)),
+                             ('isClosed', bool(isClosed))),
             parabParam=jnp.asarray(parabParam, dt),
             y0=jnp.asarray(y0, dt), z0=jnp.asarray(z0, dt),
             cosGamma=jnp.asarray(math.cos(gamma), dt),
@@ -191,6 +197,10 @@ class HyperbolicMirrorParam(_ConicParamMethods, OE):
                            (p - q) * math.cos(absPitch))
         return super(HyperbolicMirrorParam, cls).create(
             pitch=pitch,
+            createArgs=(('p', float(p)), ('q', float(q)),
+                        ('isCylindrical', bool(isCylindrical)),
+                        ('isClosed', bool(isClosed)),
+                        ('useInnerSurface', bool(useInnerSurface))),
             hyperbolaA=jnp.asarray(abs(p - q) / 2.0, dt),
             hyperbolaB=jnp.asarray(math.sqrt(p * q) * math.sin(absPitch),
                                    dt),

@@ -52,11 +52,19 @@ class Plate(DCM):
                                    fromVacuum1=True, fromVacuum2=False)
 
     def multiple_refract(self, beam, key=None, needLocal=True):
-        nCRL = getattr(self, 'nCRL', 1)
-        if nCRL == 1:
-            return self.double_refract(beam, key, needLocal)
+        """Refraction through the whole CRL stack.  The first lens runs
+        standalone (its local beams are returned, as in the reference);
+        the remaining nCRL-1 lenses run under one ``lax.scan`` body so the
+        compiled program stays one double_refract regardless of the stack
+        length (a 100+-lens stack would otherwise unroll into an
+        untractable jaxpr)."""
+        nCRL = int(getattr(self, 'nCRL', 1))
         if key is None:
             key = jax.random.PRNGKey(0)
+        out, lo1, lo2 = self.double_refract(
+            beam, jax.random.fold_in(key, 0), needLocal=True)
+        if nCRL == 1:
+            return out, lo1, lo2
         zmax = getattr(self, 'zmax', None)
         zstep = 5.0 if zmax is None else zmax
         if isinstance(self, (DoubleParaboloidLens,
@@ -67,18 +75,20 @@ class Plate(DCM):
         toward = rotate_point([jnp.zeros(()), jnp.zeros(()), jnp.ones(())],
                               self.rotationSequence, self.pitch,
                               self.roll + self.positionRoll, self.yaw)
-        lens = self
-        out = beam
-        lo1 = lo2 = None
-        for i in range(nCRL):
-            keyi = jax.random.fold_in(key, i)
-            center = self.center - jnp.asarray(
-                [toward[0] * step * i, toward[1] * step * i,
-                 toward[2] * step * i])
-            lens_i = lens.replace(center=center)
-            out, l1, l2 = lens_i.double_refract(out, keyi, needLocal=True)
-            if lo1 is None:
-                lo1, lo2 = l1, l2
+        tvec = jnp.stack([toward[0], toward[1], toward[2]])
+        idx = jnp.arange(1, nCRL, dtype=out.x.dtype)
+        centers = self.center[None, :] - tvec[None, :] * \
+            (step * idx)[:, None]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(1, nCRL))
+
+        def body(carry, inp):
+            c, k = inp
+            o, _, _ = self.replace(center=c).double_refract(
+                carry, k, needLocal=True)
+            return o, None
+
+        out, _ = jax.lax.scan(body, out, (centers, keys))
         return out, lo1, lo2
 
 
@@ -100,8 +110,11 @@ class ParaboloidFlatLens(Plate):
         if isinstance(nCRL, (tuple, list)):
             f, E = nCRL
             nFactor = 0.5 if cls.__name__.startswith('Double') else 1.0
-            delta = 1.0 - float(
-                material.get_refractive_index(E).real)
+            # under jit: some TPU transports cannot transfer the complex
+            # intermediates of an eager get_refractive_index (the real
+            # result ships fine)
+            delta = 1.0 - float(jax.jit(
+                lambda: material.get_refractive_index(E).real)())
             nCRL = max(int(round(2 * focus / f / delta * nFactor)), 1)
         return super(ParaboloidFlatLens, cls).create(
             focus=jnp.asarray(focus, dt),

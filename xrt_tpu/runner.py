@@ -444,7 +444,10 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
                        p.caxis.limits is None or
                        isinstance(p.xaxis.limits, str) for p in plots)
         if need_cal:
-            beams0 = run_process(beamLine, sub)
+            # under jit: an eager trace would materialize complex constants
+            # host-side, which some TPU transports cannot transfer; only
+            # the real coordinate arrays are pulled by calibrate_limits
+            beams0 = jax.jit(lambda k: run_process(beamLine, k))(sub)
             calibrate_limits(plots, beams0)
 
         step = _get_step()
