@@ -55,11 +55,14 @@ def main():
     # analytic source field sampled directly on the mirror surface
     wave_oe = prepare_wave_on_oe(mirror, src, N_OE,
                                  key=jax.random.PRNGKey(1))
-    beam_oe = src.shine(jax.random.PRNGKey(0), wave_oe)
+    # under jit: eager complex constants don't transfer on some TPU
+    # transports (see .claude/skills/verify)
+    beam_oe = jax.jit(src.shine)(jax.random.PRNGKey(0), wave_oe)
 
     # reflect on the surface (no intersection search: the samples are on
     # the surface already) and diffract to the focal plane
-    _, refl = mirror.reflect(beam_oe, noIntersectionSearch=True)
+    _, refl = jax.jit(
+        lambda b: mirror.reflect(b, noIntersectionSearch=True))(beam_oe)
     focus = Screen.create(center=(0, P + Q * math.cos(2 * PITCH),
                                   Q * math.sin(2 * PITCH)),
                           z=(0, -math.sin(2 * PITCH),

@@ -1,0 +1,98 @@
+"""Measure multi-device scaling of the two sharded Kirchhoff variants on
+the virtual CPU mesh (the SoftiMAX workload shape, scaled to CPU speed).
+
+Run:
+  env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      PYTHONPATH=. python tools/measure_scaling.py [--n 32768]
+
+Caveat spelled out in PERF.md: the 8 'devices' are slices of ONE host CPU
+sharing its cores, so absolute speedups bound core parallelism, not ICI;
+what the table isolates is the RELATIVE cost of the ring's ppermute
+traffic vs the collective-free dst-sharded variant at identical work.
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '.')
+
+import jax  # noqa
+import jax.numpy as jnp  # noqa
+
+
+def bench(fn, *args, nrep=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(nrep):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.time() - t0) / nrep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=32768,
+                    help='samples per wave (reference speed test 3 uses '
+                         '2e5; default scaled to CPU)')
+    args = ap.parse_args()
+
+    from xrt_tpu.parallel import make_mesh, kirchhoff_sharded, \
+        kirchhoff_ring
+    from xrt_tpu.waves import kirchhoff_integral_xla
+
+    N = args.n
+    rng = np.random.RandomState(0)
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    xd = jnp.asarray(rng.uniform(-1, 1, N), dt)
+    yd = jnp.full((N,), 20000.0, dt)
+    zd = jnp.asarray(rng.uniform(-1, 1, N), dt)
+    xs = jnp.asarray(rng.uniform(-50, 50, N), dt)
+    ys = jnp.asarray(rng.uniform(-1, 1, N), dt)
+    zs = jnp.asarray(rng.uniform(-.5, .5, N), dt)
+    Es = jnp.ones((N,), jnp.complex128 if dt == jnp.float64
+                  else jnp.complex64)
+    Ep = jnp.zeros_like(Es)
+    k = jnp.full((N,), 4.56e6, dt)
+    n = [jnp.zeros((N,), dt), jnp.ones((N,), dt), jnp.zeros((N,), dt)]
+    nl = jnp.ones((N,), dt)
+    w = jnp.ones((N,), dt)
+
+    devs = jax.devices()
+    print(f'{len(devs)} devices, N={N} ({N * N / 1e9:.2f} Gpairs)')
+    base = None
+    print(f'{"ndev":>4} {"dst-sharded":>12} {"ring":>12} '
+          f'{"speedup_dst":>12} {"eff_dst":>8} {"ring_overhead":>14}')
+    rows = []
+    for ndev in (1, 2, 4, 8):
+        if ndev > len(devs):
+            break
+        mesh = make_mesh(devs[:ndev])
+        t_dst = bench(jax.jit(
+            lambda *a, m=mesh: kirchhoff_sharded(m, *a)),
+            xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, w)
+        t_ring = bench(jax.jit(
+            lambda *a, m=mesh: kirchhoff_ring(m, *a)),
+            xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, w)
+        if base is None:
+            base = t_dst
+        sp = base / t_dst
+        eff = sp / ndev
+        ovh = (t_ring - t_dst) / t_dst
+        rows.append((ndev, t_dst, t_ring, sp, eff, ovh))
+        print(f'{ndev:>4} {t_dst:>11.3f}s {t_ring:>11.3f}s '
+              f'{sp:>11.2f}x {eff:>7.1%} {ovh:>13.1%}')
+    # single-device correctness anchor
+    ref = kirchhoff_integral_xla(xd[:256], yd[:256], zd[:256],
+                                 xs, ys, zs, Es, Ep, k, n, nl, w)
+    got = kirchhoff_sharded(make_mesh(devs), xd, yd, zd, xs, ys, zs,
+                            Es, Ep, k, n, nl, w)
+    err = float(jnp.max(jnp.abs(got[0][:256] - ref[0])))
+    print(f'dst-sharded vs single-device reference: max |dEs| = {err:.3g}')
+    return rows
+
+
+if __name__ == '__main__':
+    main()

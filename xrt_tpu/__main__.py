@@ -27,10 +27,33 @@ def main(argv=None):
             s.add_argument('--save', default=None,
                            help='save the detector image to this file')
             s.add_argument('--seed', type=int, default=0)
+            s.add_argument('--multihost', action='store_true',
+                           help='initialize jax.distributed and shard '
+                                'rays over ALL hosts/devices (run one '
+                                'process per host; the analog of the '
+                                "reference's multi-GPU/ZMQ scaling)")
+            s.add_argument('--coordinator', default=None,
+                           help='coordinator address host:port '
+                                '(default: jax auto-detection)')
+            s.add_argument('--num-processes', type=int, default=None)
+            s.add_argument('--process-id', type=int, default=None)
         if c == 'serve':
             s.add_argument('--port', type=int, default=0)
             s.add_argument('--host', default='127.0.0.1')
     args = ap.parse_args(argv)
+
+    if getattr(args, 'multihost', False):
+        # must run before anything initializes the XLA backend (element
+        # creation below already dispatches jax computations)
+        import jax
+        kw = {}
+        if args.coordinator:
+            kw['coordinator_address'] = args.coordinator
+        if args.num_processes is not None:
+            kw['num_processes'] = args.num_processes
+        if args.process_id is not None:
+            kw['process_id'] = args.process_id
+        jax.distributed.initialize(**kw)
 
     from .beamline import BeamLine
     bl = BeamLine.load_from_json(args.beamline)
@@ -57,6 +80,42 @@ def main(argv=None):
     # trace
     import jax
     import numpy as np
+    if args.multihost:
+        # jax.distributed was initialized at the top of main(); all
+        # devices (local + remote hosts) appear in jax.devices() and the
+        # sharded step below scales across them — the TPU-native analog of
+        # the reference's multi-GPU splitting + ZMQ remote offload
+        # (myopencl.py:455-590).
+        from .parallel import make_mesh, sharded_step
+        from .plotspec import XYCPlot, XYCAxis
+        from .runner import (histogram_plot, _accumulate, calibrate_limits)
+        mesh = make_mesh()
+        print(f'multihost: process {jax.process_index()} of '
+              f'{jax.process_count()}, {len(jax.devices())} devices '
+              f'in the mesh')
+        key = jax.random.PRNGKey(args.seed)
+        beams0 = bl.propagate_flow(key)
+        last = list(beams0)[-1]
+        plot = XYCPlot(beam=last, xaxis=XYCAxis('x', 'mm'),
+                       yaxis=XYCAxis('z', 'mm'),
+                       caxis=XYCAxis('energy', 'eV'))
+        calibrate_limits([plot], beams0)
+
+        def run_process(bl_, k):
+            return bl.propagate_flow(k)
+
+        for rep in range(args.repeats):
+            key, sub_ = jax.random.split(key)
+            hists = sharded_step(run_process, bl, [plot], mesh, sub_)
+            _accumulate(plot, hists[0])
+        print(f"'{last}': flux={plot.intensity:.5g} over "
+              f'{len(jax.devices())} devices x {args.repeats} repeats, '
+              f'nGood={plot.nRaysGood}')
+        if args.save and jax.process_index() == 0:
+            from .plotting import save_plot
+            save_plot(plot, args.save)
+            print(f'saved {args.save}')
+        return 0
     key = jax.random.PRNGKey(args.seed)
     beams = None
     for rep in range(args.repeats):

@@ -93,7 +93,13 @@ class Beam:
         if self.Es is not None:
             return self
         cdt = jnp.result_type(self.Jsp)
-        zeros = jnp.zeros_like(self.x, dtype=cdt)
+        if isinstance(self.x, jax.core.Tracer):
+            zeros = jnp.zeros_like(self.x, dtype=cdt)
+        else:
+            # eager: materialize device-side — some TPU transports cannot
+            # transfer complex host constants (see config.czeros)
+            from . import config
+            zeros = config.czeros(self.x.shape, cdt)
         return self.replace(Es=zeros, Ep=zeros)
 
     def masked_replace(self, mask: jnp.ndarray, **fields) -> "Beam":
@@ -151,7 +157,10 @@ def rotate_coherency_matrix(Jss, Jpp, Jsp, roll):
     c2, s2, cs = c * c, s * s, c * s
     JssN = Jss * c2 + Jpp * s2 + 2 * Jsp.real * cs
     JppN = Jss * s2 + Jpp * c2 - 2 * Jsp.real * cs
-    JspN = (Jpp - Jss) * cs + Jsp.real * (c2 - s2) + 1j * Jsp.imag
+    # lax.complex instead of "+ 1j * imag": no host complex constant, which
+    # some TPU transports cannot transfer in eager mode
+    JspN = jax.lax.complex((Jpp - Jss) * cs + Jsp.real * (c2 - s2),
+                           Jsp.imag)
     return JssN, JppN, JspN
 
 

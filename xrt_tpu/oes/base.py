@@ -613,8 +613,9 @@ class _OEMethods:
         goodN = state == 1
         lb = lb.replace(path=jnp.where(goodN, lb.path + t, lb.path))
 
-        lb = self._interact(lb, goodN, key, roll, fromVacuum, t, material,
-                            local_n, is2ndXtal=is2ndXtal)
+        lb, rollAngle = self._interact(lb, goodN, key, roll, fromVacuum, t,
+                                       material, local_n,
+                                       is2ndXtal=is2ndXtal)
         if isParam:
             # back to cartesian; keep the parametric impact coordinates
             # (cf. reflect.py:1112-1117)
@@ -624,8 +625,22 @@ class _OEMethods:
                             y=jnp.where(good, yC, lb.y),
                             z=jnp.where(good, zC, lb.z))
 
-        # back to virgin local
+        # back to virgin local; rotate the polarization frame back by the
+        # local roll — in the virgin-local beam only, the true-local beam
+        # keeps the surface s/p frame (reflect.py:1105-1110)
         vlb = lb
+        if rollAngle is not None:
+            JssB, JppB, JspB = rotate_coherency_matrix(
+                lb.Jss, lb.Jpp, lb.Jsp, rollAngle)
+            upd = dict(Jss=jnp.where(goodN, JssB, lb.Jss),
+                       Jpp=jnp.where(goodN, JppB, lb.Jpp),
+                       Jsp=jnp.where(goodN, JspB, lb.Jsp))
+            if lb.Es is not None:
+                cosYb, sinYb = jnp.cos(rollAngle), jnp.sin(rollAngle)
+                EsB, EpB = rotate_y(lb.Es, lb.Ep, cosYb, sinYb)
+                upd['Es'] = jnp.where(goodN, EsB, lb.Es)
+                upd['Ep'] = jnp.where(goodN, EpB, lb.Ep)
+            vlb = lb.replace(**upd)
         if dx is not None:
             vlb = vlb.replace(x=vlb.x + dx)
         if dy is not None:
@@ -924,27 +939,26 @@ class _OEMethods:
             Es_new = Es_new * mPh
             Ep_new = Ep_new * mPh
 
-        # rotate coherency matrix back (reflect.py:1102-1110)
-        Jss_b, Jpp_b, Jsp_b = rotate_coherency_matrix(
-            Jss_new, Jpp_new, Jsp_new, rollAngle)
+        # the true-local beam keeps its amplitudes in the per-point SURFACE
+        # s/p frame — the reference rotates back only in the virgin-local
+        # copy (reflect.py:1105-1110, vlb not lb); wave hops (diffract from
+        # this OE) consume the surface-frame amplitudes
         updates = dict(
             a=jnp.where(goodN, a_out, lb.a),
             b=jnp.where(goodN, b_out, lb.b),
             c=jnp.where(goodN, c_out, lb.c),
-            Jss=jnp.where(goodN, Jss_b, lb.Jss),
-            Jpp=jnp.where(goodN, Jpp_b, lb.Jpp),
-            Jsp=jnp.where(goodN, Jsp_b, lb.Jsp),
+            Jss=jnp.where(goodN, Jss_new, lb.Jss),
+            Jpp=jnp.where(goodN, Jpp_new, lb.Jpp),
+            Jsp=jnp.where(goodN, Jsp_new, lb.Jsp),
         )
         if Es_l is not None:
-            cosY, sinY = jnp.cos(rollAngle), jnp.sin(rollAngle)
-            Es_b, Ep_b = rotate_y(Es_new, Ep_new, cosY, sinY)
-            updates['Es'] = jnp.where(goodN, Es_b, lb.Es)
-            updates['Ep'] = jnp.where(goodN, Ep_b, lb.Ep)
+            updates['Es'] = jnp.where(goodN, Es_new, lb.Es)
+            updates['Ep'] = jnp.where(goodN, Ep_new, lb.Ep)
         if order_arr is not None:
             prev = lb.order if lb.order is not None \
                 else jnp.zeros_like(lb.x)
             updates['order'] = jnp.where(goodN, order_arr, prev)
-        return lb.replace(**updates)
+        return lb.replace(**updates), rollAngle
 
 
 def _merge_by_mask(old: Beam, new: Beam, mask) -> Beam:

@@ -61,6 +61,19 @@ class Wave(Beam):
     bEacc: Optional[jnp.ndarray] = None
     cEacc: Optional[jnp.ndarray] = None
     areaNormal: Optional[jnp.ndarray] = None
+    # when the receiver (toOE) is an OE, diffract stores two frames, like
+    # the reference's wave/glo pair (waves.py:772-824): the wave itself
+    # carries toOE-local directions and the polarization frame rolled to
+    # the receiving surface, while the *Glo fields keep the global-frame
+    # directions/fields (consumed by wave_to_global -> reflect)
+    aGlo: Optional[jnp.ndarray] = None
+    bGlo: Optional[jnp.ndarray] = None
+    cGlo: Optional[jnp.ndarray] = None
+    EsGlo: Optional[jnp.ndarray] = None
+    EpGlo: Optional[jnp.ndarray] = None
+    JssGlo: Optional[jnp.ndarray] = None
+    JppGlo: Optional[jnp.ndarray] = None
+    JspGlo: Optional[jnp.ndarray] = None
     beamReflRays: Optional[jnp.ndarray] = None
     beamReflSumJ: Optional[jnp.ndarray] = None
     beamReflSumJnl: Optional[jnp.ndarray] = None
@@ -185,9 +198,12 @@ def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
                    for v in (xglo, yglo, zglo))
     los = {}
     if host:
+        # two-step pull: asking the device for a dtype-converting transfer
+        # (f32 array -> f64 host) is unimplemented on some TPU transports
         x64, y64, z64 = _to_fromOE_local64(
-            fromOE, np.asarray(xglo, np.float64),
-            np.asarray(yglo, np.float64), np.asarray(zglo, np.float64))
+            fromOE, np.asarray(np.asarray(xglo), np.float64),
+            np.asarray(np.asarray(yglo), np.float64),
+            np.asarray(np.asarray(zglo), np.float64))
         r64 = np.sqrt(x64 ** 2 + y64 ** 2 + z64 ** 2)
         x = jnp.asarray(x64, dt)
         y = jnp.asarray(y64, dt)
@@ -340,10 +356,14 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
     if key is None:
         key = jax.random.PRNGKey(0)
     if isinstance(nrays, (tuple, list)):
-        xx = np.linspace(float(oe.limPhysX[0]), float(oe.limPhysX[1]),
-                         int(nrays[0]))
-        yy = np.linspace(float(oe.limPhysY[0]), float(oe.limPhysY[1]),
-                         int(nrays[1]))
+        if isinstance(nrays[0], np.ndarray):
+            # explicit sample coordinates (reference reflect.py:322-327)
+            xx, yy = np.asarray(nrays[0]), np.asarray(nrays[1])
+        else:
+            xx = np.linspace(float(oe.limPhysX[0]), float(oe.limPhysX[1]),
+                             int(nrays[0]))
+            yy = np.linspace(float(oe.limPhysY[0]), float(oe.limPhysY[1]),
+                             int(nrays[1]))
         X, Y = np.meshgrid(xx, yy)
         x = jnp.asarray(X.ravel(), dt)
         y = jnp.asarray(Y.ravel(), dt)
@@ -357,68 +377,78 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
         y = jax.random.uniform(k2, (nsamples,), dt) * dY + oe.limPhysY[0]
     area0 = (oe.limPhysX[1] - oe.limPhysX[0]) * \
         (oe.limPhysY[1] - oe.limPhysY[0])
-    if oe.isParametric:
-        s, phi, r0 = oe.xyz_to_param(x, y, jnp.zeros_like(x))
-        r = oe.local_r(s, phi)
-        z = oe.param_to_xyz(s, phi, r)[2]
-    else:
-        z = oe.local_z(x, y)
-    lb = Beam(x=x, y=y, z=z,
-              a=jnp.zeros((nsamples,), dt), b=jnp.ones((nsamples,), dt),
-              c=jnp.zeros((nsamples,), dt),
-              E=jnp.full((nsamples,), config.DEFAULT_ENERGY, dt),
-              state=jnp.ones((nsamples,), jnp.int32),
-              path=jnp.zeros((nsamples,), dt),
-              Jss=jnp.ones((nsamples,), dt),
-              Jpp=jnp.zeros((nsamples,), dt),
-              Jsp=config.czeros((nsamples,)))
-    lb = lb.with_amplitudes()
-    glo_pts = oe.local_to_global(lb)
-    if hasattr(prevOE, 'rotationSequence'):
-        # the reference puts prevCenter at the middle of the previous OE's
-        # surface limits, traced to the surface (reflect.py:348-365)
-        cx = 0.5 * (prevOE.limPhysX[0] + prevOE.limPhysX[1])
-        cy = 0.5 * (prevOE.limPhysY[0] + prevOE.limPhysY[1])
-        cxa = jnp.asarray([cx], dt)
-        cya = jnp.asarray([cy], dt)
-        if prevOE.isParametric:
-            s0, phi0, _ = prevOE.xyz_to_param(cxa, cya, jnp.zeros(1, dt))
-            r0c = prevOE.local_r(s0, phi0)
-            cza = prevOE.param_to_xyz(s0, phi0, r0c)[2]
-        else:
-            cza = prevOE.local_z(cxa, cya)
-        from .beam import new_beam
-        lbc = new_beam(1, dtype=dt).replace(x=cxa, y=cya, z=cza)
-        lbc = prevOE.local_to_global(lbc)
-        prevCenter = (lbc.x[0], lbc.y[0], lbc.z[0])
-    else:
-        prevCenter = prevOE.center
-    a = glo_pts.x - prevCenter[0]
-    b = glo_pts.y - prevCenter[1]
-    c = glo_pts.z - prevCenter[2]
-    norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
-    lb_in = glo_pts.replace(
-        a=a / norm, b=b / norm, c=c / norm,
-        x=jnp.full((nsamples,), prevCenter[0], dt),
-        y=jnp.full((nsamples,), prevCenter[1], dt),
-        z=jnp.full((nsamples,), prevCenter[2], dt))
-    # surface-normal projection factor (reference reflect.py:381-393):
-    # |cos| between the incoming central direction and the global surface
-    # normal at the OE origin; areaNormal = area * that factor is the
-    # aperture area seen by the wave (used by source shine(wave=...))
-    one = jnp.ones(1, dt)
-    zero1 = jnp.zeros(1, dt)
-    from .beam import new_beam as _nb
-    lbn = _nb(1, dtype=dt).replace(b=zero1, c=one)
-    lbn = oe.local_to_global(lbn)
-    an = lbn.x - prevCenter[0]
-    bn = lbn.y - prevCenter[1]
-    cn = lbn.z - prevCenter[2]
-    nrm = jnp.sqrt(an ** 2 + bn ** 2 + cn ** 2)
-    areaNormalFact = jnp.abs(
-        (an * lbn.a[0] + bn * lbn.b[0] + cn * lbn.c[0]) / nrm)[0]
 
-    waveGlobal, waveLocal = oe.reflect(lb_in, key)
+    # the whole device part runs under one jit: eagerly, the reflect chain
+    # would materialize complex constants host-side, which some TPU
+    # transports cannot transfer (see config.czeros)
+    def _build(x, y, key):
+        if oe.isParametric:
+            s, phi, r0 = oe.xyz_to_param(x, y, jnp.zeros_like(x))
+            r = oe.local_r(s, phi)
+            z = oe.param_to_xyz(s, phi, r)[2]
+        else:
+            z = oe.local_z(x, y)
+        lb = Beam(x=x, y=y, z=z,
+                  a=jnp.zeros((nsamples,), dt),
+                  b=jnp.ones((nsamples,), dt),
+                  c=jnp.zeros((nsamples,), dt),
+                  E=jnp.full((nsamples,), config.DEFAULT_ENERGY, dt),
+                  state=jnp.ones((nsamples,), jnp.int32),
+                  path=jnp.zeros((nsamples,), dt),
+                  Jss=jnp.ones((nsamples,), dt),
+                  Jpp=jnp.zeros((nsamples,), dt),
+                  Jsp=jnp.zeros((nsamples,), config.cdtype()))
+        lb = lb.with_amplitudes()
+        glo_pts = oe.local_to_global(lb)
+        if hasattr(prevOE, 'rotationSequence'):
+            # the reference puts prevCenter at the middle of the previous
+            # OE's surface limits, traced to the surface
+            # (reflect.py:348-365)
+            cx = 0.5 * (prevOE.limPhysX[0] + prevOE.limPhysX[1])
+            cy = 0.5 * (prevOE.limPhysY[0] + prevOE.limPhysY[1])
+            cxa = jnp.asarray([cx], dt)
+            cya = jnp.asarray([cy], dt)
+            if prevOE.isParametric:
+                s0, phi0, _ = prevOE.xyz_to_param(cxa, cya,
+                                                  jnp.zeros(1, dt))
+                r0c = prevOE.local_r(s0, phi0)
+                cza = prevOE.param_to_xyz(s0, phi0, r0c)[2]
+            else:
+                cza = prevOE.local_z(cxa, cya)
+            from .beam import new_beam
+            lbc = new_beam(1, dtype=dt).replace(x=cxa, y=cya, z=cza)
+            lbc = prevOE.local_to_global(lbc)
+            prevCenter = (lbc.x[0], lbc.y[0], lbc.z[0])
+        else:
+            prevCenter = prevOE.center
+        a = glo_pts.x - prevCenter[0]
+        b = glo_pts.y - prevCenter[1]
+        c = glo_pts.z - prevCenter[2]
+        norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
+        lb_in = glo_pts.replace(
+            a=a / norm, b=b / norm, c=c / norm,
+            x=jnp.full((nsamples,), prevCenter[0], dt),
+            y=jnp.full((nsamples,), prevCenter[1], dt),
+            z=jnp.full((nsamples,), prevCenter[2], dt))
+        # surface-normal projection factor (reference reflect.py:381-393):
+        # |cos| between the incoming central direction and the global
+        # surface normal at the OE origin; areaNormal = area * that factor
+        # is the aperture area seen by the wave (used by shine(wave=...))
+        one = jnp.ones(1, dt)
+        zero1 = jnp.zeros(1, dt)
+        from .beam import new_beam as _nb
+        lbn = _nb(1, dtype=dt).replace(b=zero1, c=one)
+        lbn = oe.local_to_global(lbn)
+        an = lbn.x - prevCenter[0]
+        bn = lbn.y - prevCenter[1]
+        cn = lbn.z - prevCenter[2]
+        nrm = jnp.sqrt(an ** 2 + bn ** 2 + cn ** 2)
+        areaNormalFact = jnp.abs(
+            (an * lbn.a[0] + bn * lbn.b[0] + cn * lbn.c[0]) / nrm)[0]
+        waveGlobal, waveLocal = oe.reflect(lb_in, key)
+        return waveGlobal, waveLocal, areaNormalFact
+
+    waveGlobal, waveLocal, areaNormalFact = jax.jit(_build)(x, y, key)
     good = (waveLocal.state == 1) | (waveLocal.state == 2)
     area = area0 * jnp.mean(good.astype(dt))
     ngood = jnp.maximum(jnp.sum(good), 1)
@@ -656,14 +686,89 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
         accepted=oeLocal.accepted, acceptedE=oeLocal.acceptedE,
         seeded=oeLocal.seeded,
         seededI=None if oeLocal.seededI is None else oeLocal.seededI)
+
+    toOE = wave.toOE
+    if toOE is not None and hasattr(toOE, 'rotationSequence'):
+        # the receiver is an OE: rotate into its frame and project the flux
+        # onto the (generally grazing) surface (reference waves.py:772-824).
+        # glo: the global-frame beam (what reflect() consumes next)
+        glo = wave_to_global(out)
+        ones = jnp.ones_like(out.xDiffr)
+        if hasattr(toOE, 'local_n1'):     # DCM: first crystal
+            local_n = toOE.local_n1
+        else:
+            local_n = toOE.local_n
+        if getattr(toOE, 'isParametric', False):
+            s_, phi_, _ = toOE.xyz_to_param(wave.x, wave.y, wave.z)
+            nrm = toOE.local_n(s_, phi_)
+        else:
+            nrm = local_n(wave.x, wave.y)
+        n1 = nrm[-3] * ones
+        n2 = nrm[-2] * ones
+        n3 = nrm[-1] * ones
+        pitchT, rollT, yawT = toOE._placement()[0:3]
+        rollAngle = rollT + jnp.arctan2(n1, n3)
+        JssR, JppR, JspR = rotate_coherency_matrix(
+            glo.Jss, glo.Jpp, glo.Jsp, -rollAngle)
+        cosY, sinY = jnp.cos(rollAngle), jnp.sin(rollAngle)
+        EsR, EpR = rotate_y(glo.Es, glo.Ep, cosY, -sinY)
+        al, bl_, cl_ = rotate_xyz(
+            glo.a, glo.b, glo.c, rotationSequence=toOE.rotationSequence,
+            pitch=-pitchT, roll=-rollT, yaw=-yawT, skip_zero=False)
+        if toOE.extraPitch is not None:
+            al, bl_, cl_ = rotate_xyz(
+                al, bl_, cl_,
+                rotationSequence=toOE.extraRotationSequence,
+                pitch=-toOE.extraPitch, roll=-toOE.extraRoll,
+                yaw=-toOE.extraYaw, skip_zero=False)
+        proj = jnp.abs(al * n1 + bl_ * n2 + cl_ * n3)
+        sqp = jnp.sqrt(proj).astype(glo.Es.dtype)
+        out = out.replace(
+            a=al, b=bl_, c=cl_,
+            Es=EsR * sqp, Ep=EpR * sqp,
+            Jss=JssR * proj, Jpp=JppR * proj, Jsp=JspR * proj,
+            aGlo=glo.a, bGlo=glo.b, cGlo=glo.c,
+            EsGlo=glo.Es * sqp, EpGlo=glo.Ep * sqp,
+            JssGlo=glo.Jss * proj, JppGlo=glo.Jpp * proj,
+            JspGlo=glo.Jsp * proj)
     return out
 
 
 def wave_to_global(wave: Wave) -> Beam:
     """The diffracted beam with global positions of the receiving points
-    (cf. the `glo` construction, waves.py:755-770)."""
+    (cf. the `glo` construction, waves.py:755-770).  After a diffract onto
+    an OE receiver, the wave's own fields are in the receiver's frame; the
+    stored *Glo fields give the global beam directly (reference
+    waves.py:779-783)."""
     oe = wave.fromOE
     glo = Beam(**{f: getattr(wave, f) for f in Beam.__dataclass_fields__})
+    if wave.aGlo is not None:
+        glo = glo.replace(a=wave.aGlo, b=wave.bGlo, c=wave.cGlo,
+                          Es=wave.EsGlo, Ep=wave.EpGlo,
+                          Jss=wave.JssGlo, Jpp=wave.JppGlo,
+                          Jsp=wave.JspGlo)
+        # positions only: the fields/directions are already global
+        from .beam import new_beam
+        tmp = new_beam(wave.xDiffr.shape[0],
+                       dtype=wave.xDiffr.dtype).replace(
+            x=wave.xDiffr, y=wave.yDiffr, z=wave.zDiffr)
+        if hasattr(oe, 'rotationSequence'):
+            tmp = oe.local_to_global(tmp,
+                                     is2ndXtal=hasattr(oe, 'braggAngle'))
+        elif hasattr(oe, 'ex'):
+            ex, ey, ez = oe.ex, oe.ey, oe.ez
+            tmp = tmp.replace(
+                x=oe.center[0] + wave.xDiffr * ex[0] +
+                wave.yDiffr * ey[0] + wave.zDiffr * ez[0],
+                y=oe.center[1] + wave.xDiffr * ex[1] +
+                wave.yDiffr * ey[1] + wave.zDiffr * ez[1],
+                z=oe.center[2] + wave.xDiffr * ex[2] +
+                wave.yDiffr * ey[2] + wave.zDiffr * ez[2])
+        else:
+            tmp = tmp.replace(x=wave.xDiffr + oe.center[0],
+                              y=wave.yDiffr + oe.center[1],
+                              z=wave.zDiffr + oe.center[2])
+        return glo.replace(x=tmp.x, y=tmp.y, z=tmp.z)
     glo = glo.replace(x=wave.xDiffr, y=wave.yDiffr, z=wave.zDiffr)
     if hasattr(oe, 'rotationSequence'):  # an OE
         return oe.local_to_global(glo,
