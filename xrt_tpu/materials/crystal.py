@@ -362,6 +362,10 @@ class CrystalDiamond(CrystalFcc):
 
     @classmethod
     def create(cls, hkl=(1, 1, 1), d=0.0, a=None, **kwargs):
+        if a is None and not d and not issubclass(cls, CrystalSi):
+            a = 3.56679   # diamond lattice constant [A]
+            kwargs.setdefault('elements', 'C')
+            kwargs.setdefault('rho', 3.516)
         if a is not None:
             sqrthkl2 = math.sqrt(sum(i ** 2 for i in hkl))
             d = a / sqrthkl2

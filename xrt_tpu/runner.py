@@ -455,16 +455,23 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
             if beamLine is not None and getattr(beamLine, '_elements', None) \
             else None
 
+        from .profiler import stage as _pstage
         t0 = time.time()
         for it in range(repeats):
             key, sub = jax.random.split(key)
             if mesh is not None:
                 from .parallel import sharded_step
-                hists = sharded_step(run_process, beamLine, plots, mesh, sub)
+                with _pstage('runner.step'):
+                    hists = sharded_step(run_process, beamLine, plots,
+                                         mesh, sub)
+                    jax.block_until_ready(hists)
             else:
-                hists = step(elements, sub)
-            for plot, h in zip(plots, hists):
-                _accumulate(plot, h)
+                with _pstage('runner.step'):
+                    hists = step(elements, sub)
+                    jax.block_until_ready(hists)
+            with _pstage('runner.accumulate'):
+                for plot, h in zip(plots, hists):
+                    _accumulate(plot, h)
             if pickleEvery and (it + 1) % pickleEvery == 0:
                 for plot in plots:
                     if plot.persistentName:
@@ -489,6 +496,9 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
     if historyFile:
         store_run_history(t_run0, time.time(), tag=historyTag,
                           fileName=historyFile)
+    if verbose:
+        from .profiler import report
+        print(report())
     if afterScript:
         afterScript(*afterScriptArgs)
     return plots
