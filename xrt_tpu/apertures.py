@@ -395,8 +395,10 @@ class GridAperture(_ApertureBase):
 
 @struct.dataclass
 class SiemensStar(_ApertureBase):
-    """Siemens star resolution pattern (apertures.py:1462): *nSpokes* opaque
-    spokes within radius *r*; transparent elsewhere inside *rOut*."""
+    """Siemens star resolution pattern (apertures.py:1462): *nSpokes*
+    wedge-shaped OPENINGS within radius *r* (half the disk is open, the
+    alternating wedges and everything outside *r* are opaque — the
+    reference builds the same star as a polygonal aperture)."""
     r: jnp.ndarray = None
     nSpokes: int = struct.field(pytree_node=False, default=9)
     vortex: int = struct.field(pytree_node=False, default=0)
