@@ -168,8 +168,13 @@ def workload_kirchhoff():
     zs = np.linspace(-zmax, zmax, 241)
     wave = prepare_wave_on_screen(screen, slit, np.asarray([0.0]), zs)
     out = diffract(src, wave)
+    # the monochromatic fast path (what bench.py measures for the fixed-E
+    # SoftiMAX workload) must agree with the general path
+    out_mono = diffract(src, wave, monochromatic=True)
     return {'kir_re': np.asarray(out.Es.real, np.float64),
-            'kir_im': np.asarray(out.Es.imag, np.float64)}
+            'kir_im': np.asarray(out.Es.imag, np.float64),
+            'kirm_re': np.asarray(out_mono.Es.real, np.float64),
+            'kirm_im': np.asarray(out_mono.Es.imag, np.float64)}
 
 
 def run_all():
@@ -301,6 +306,13 @@ if pytest is not None:
         D = E_d[keep] * np.conj(E_t[keep])
         D = D * np.exp(-1j * np.angle(D.sum()))
         assert np.std(np.angle(D)) < 0.05
+        # the benched monochromatic fast path agrees too
+        E_m = device_results['kirm_re'] + 1j * device_results['kirm_im']
+        I_m = np.abs(E_m) ** 2
+        assert np.max(np.abs(I_m - I_t)[keep]) / I_t.max() < 2e-2
+        Dm = E_m[keep] * np.conj(E_t[keep])
+        Dm = Dm * np.exp(-1j * np.angle(Dm.sum()))
+        assert np.std(np.angle(Dm)) < 0.05
 
 
 if __name__ == '__main__':

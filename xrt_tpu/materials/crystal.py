@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Tuple, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -373,12 +374,16 @@ class CrystalDiamond(CrystalFcc):
         return super(CrystalDiamond, cls).create(hkl=hkl, d=d, **kwargs)
 
     def get_structure_factor(self, E, sinThetaOverLambda=0.0, needFhkl=True):
-        diamondToFcc = 1 + complex(math.cos(0.5 * PI * sum(self.hkl)),
-                                   math.sin(0.5 * PI * sum(self.hkl)))
+        dr = 1 + math.cos(0.5 * PI * sum(self.hkl))
+        di = math.sin(0.5 * PI * sum(self.hkl))
         F0, Fhkl, Fhkl_ = CrystalFcc.get_structure_factor(
             self, E, sinThetaOverLambda, needFhkl)
-        return (F0 * 2, Fhkl * diamondToFcc,
-                Fhkl_ * diamondToFcc.conjugate())
+        # build the complex factor device-side (a python complex scalar
+        # would need a complex host->device transfer, unimplemented on
+        # some TPU transports)
+        fdt = jnp.real(jnp.asarray(Fhkl)).dtype
+        dj = jax.lax.complex(jnp.asarray(dr, fdt), jnp.asarray(di, fdt))
+        return F0 * 2, Fhkl * dj, Fhkl_ * jnp.conj(dj)
 
 
 def _si_dl_l(t):

@@ -49,4 +49,7 @@ class Element:
         validation)."""
         f1 = jnp.interp(E, self.Etable, self.f1table)
         f2 = jnp.interp(E, self.Etable, self.f2table)
-        return f1 + 1j * f2
+        # lax.complex instead of "+ 1j*f2": no host complex constant, which
+        # some TPU transports cannot transfer in eager mode
+        import jax
+        return jax.lax.complex(f1, f2)
