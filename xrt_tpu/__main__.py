@@ -19,6 +19,28 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog='python -m xrt_tpu')
     sub = ap.add_subparsers(dest='cmd', required=True)
+    # x-ray calculator (the reference's 00_xRayCalculator capability):
+    # material/crystal curves straight from the material classes, as CSV
+    calc = sub.add_parser(
+        'calc', help='x-ray calculator: reflectivity / transmission / '
+                     'refraction index / crystal rocking curve')
+    calc.add_argument('what', choices=('reflectivity', 'transmission',
+                                       'index', 'rocking'))
+    calc.add_argument('--material', default='Si',
+                      help='element or compound formula (e.g. Rh, SiO2)')
+    calc.add_argument('--rho', type=float, default=0.0,
+                      help='density g/cm3 (default: table value if known)')
+    calc.add_argument('--t', type=float, default=None,
+                      help='thickness mm (transmission)')
+    calc.add_argument('--hkl', default='111', help='crystal hkl (rocking)')
+    calc.add_argument('--E', default='9000',
+                      help="energy eV: single value or 'min:max:n'")
+    calc.add_argument('--theta', default='1:10:128',
+                      help="grazing angle mrad: value or 'min:max:n' "
+                           '(reflectivity)')
+    calc.add_argument('--dtheta', default='-50:150:200',
+                      help="rocking offset urad: 'min:max:n'")
+
     for c in ('trace', 'info', 'serve', 'bob'):
         s = sub.add_parser(c)
         s.add_argument('beamline', help='beamline JSON file')
@@ -45,6 +67,9 @@ def main(argv=None):
             s.add_argument('--port', type=int, default=0)
             s.add_argument('--host', default='127.0.0.1')
     args = ap.parse_args(argv)
+
+    if args.cmd == 'calc':
+        return _calc(args)
 
     if getattr(args, 'multihost', False):
         # must run before anything initializes the XLA backend (element
@@ -154,6 +179,98 @@ def main(argv=None):
         _accumulate(plot, histogram_plot(plot, beams))
         save_plot(plot, args.save)
         print(f'saved {args.save}')
+    return 0
+
+
+def _parse_range(spec, scale=1.0):
+    import numpy as np
+    if ':' in spec:
+        lo, hi, n = spec.split(':')
+        return np.linspace(float(lo), float(hi), int(n)) * scale
+    return np.asarray([float(spec)]) * scale
+
+
+def _calc(args):
+    """Material-property calculator (the capability of the reference's
+    examples/withRaycing/00_xRayCalculator scripts), CSV to stdout."""
+    import math
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import re as _re
+    from . import materials as xm
+
+    formula = args.material
+    parts = _re.findall(r'([A-Z][a-z]?)(\d*)', formula)
+    parts = [(el, int(q) if q else 1) for el, q in parts if el]
+    if len(parts) == 1 and parts[0][1] == 1:
+        elements, quantities = parts[0][0], None
+    else:
+        elements = tuple(el for el, _ in parts)
+        quantities = tuple(q for _, q in parts)
+
+    E = _parse_range(args.E)
+    Ej = jnp.asarray(E)
+    if args.what == 'rocking':
+        hkl = tuple(int(c) for c in args.hkl)
+        cr = xm.CrystalSi.create(hkl=hkl) if args.material == 'Si' else \
+            xm.CrystalFromCell.create(hkl=hkl, name=args.material)
+        E0 = float(E[0])
+        thetaB = float(cr.get_Bragg_angle(E0))
+        dth = _parse_range(args.dtheta, 1e-6)
+        th = thetaB + dth
+
+        @jax.jit
+        def rock(th):
+            g0 = -jnp.sin(th)
+            gh = jnp.sin(th)
+            hns0 = -jnp.sin(th)
+            rs, rp = cr.get_amplitude(jnp.full(th.shape, E0), g0, gh,
+                                      hns0)[0:2]
+            return jnp.abs(rs) ** 2, jnp.abs(rp) ** 2
+        Rs, Rp = rock(jnp.asarray(th))
+        print('# dtheta(urad), |rs|^2, |rp|^2   '
+              f'[{args.material}{args.hkl} at E={E0} eV, '
+              f'thetaB={math.degrees(thetaB):.4f} deg]')
+        for a, b, c in zip(dth * 1e6, np.asarray(Rs), np.asarray(Rp)):
+            print(f'{a:.6g}, {b:.6g}, {c:.6g}')
+        return 0
+
+    mat = xm.Material.create(elements, quantities=quantities, rho=args.rho,
+                             kind='mirror' if args.what == 'reflectivity'
+                             else 'plate')
+    if args.what == 'index':
+        n = jax.jit(mat.get_refractive_index)(Ej)
+        mu = jax.jit(mat.get_absorption_coefficient)(Ej)
+        print('# E(eV), delta, beta, mu(1/cm)')
+        for e, nv, m in zip(E, np.asarray(n), np.asarray(mu)):
+            print(f'{e:.6g}, {1 - nv.real:.6g}, {-nv.imag:.6g}, {m:.6g}')
+        return 0
+    if args.what == 'transmission':
+        t = args.t if args.t is not None else 0.1
+        mu = np.asarray(jax.jit(mat.get_absorption_coefficient)(Ej))
+        T = np.exp(-mu * t * 0.1)
+        print(f'# E(eV), transmission through {t} mm {formula}')
+        for e, tv in zip(E, T):
+            print(f'{e:.6g}, {tv:.6g}')
+        return 0
+    # reflectivity vs grazing angle at fixed E (or vs E at fixed angle)
+    th = _parse_range(args.theta, 1e-3)
+    if len(E) > 1 and len(th) == 1:
+        rs, rp = jax.jit(lambda: mat.get_amplitude(
+            Ej, math.sin(float(th[0])))[0:2])()
+        print(f'# E(eV), |rs|^2, |rp|^2  [theta={th[0]*1e3} mrad]')
+        for e, a, b in zip(E, np.abs(np.asarray(rs)) ** 2,
+                           np.abs(np.asarray(rp)) ** 2):
+            print(f'{e:.6g}, {a:.6g}, {b:.6g}')
+    else:
+        E0 = float(E[0])
+        rs, rp = jax.jit(lambda: mat.get_amplitude(
+            jnp.full(th.shape, E0), jnp.sin(jnp.asarray(th)))[0:2])()
+        print(f'# theta(mrad), |rs|^2, |rp|^2  [E={E0} eV]')
+        for a, b, c in zip(th * 1e3, np.abs(np.asarray(rs)) ** 2,
+                           np.abs(np.asarray(rp)) ** 2):
+            print(f'{a:.6g}, {b:.6g}, {c:.6g}')
     return 0
 
 
