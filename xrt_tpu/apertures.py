@@ -112,6 +112,16 @@ class _ApertureBase:
             return glo, lo
         return lo
 
+    def propagate_wave(self, wave=None, nrays='auto', key=None,
+                       fixedEnergy=None, prevOE=None, **dkw):
+        """One-call Kirchhoff hop onto samples inside this opening
+        (reference apertures propagate_wave, apertures.py:501-542).
+        Returns the filled Wave."""
+        from .waves import propagate_wave_to_aperture
+        return propagate_wave_to_aperture(self, wave, nrays=nrays, key=key,
+                                          fixedEnergy=fixedEnergy,
+                                          prevOE=prevOE, **dkw)
+
     def _to_global(self, lo: Beam) -> Beam:
         ex, ey, ez = self.ex, self.ey, self.ez
         gx = self.center[0] + lo.x * ex[0] + lo.y * ey[0] + lo.z * ez[0]

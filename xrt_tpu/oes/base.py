@@ -355,6 +355,16 @@ class _OEMethods:
         norm = jnp.sqrt(a_out ** 2 + b_out ** 2 + c_out ** 2)
         return a_out / norm, b_out / norm, c_out / norm, locOrder
 
+    def propagate_wave(self, wave=None, nrays='auto', key=None,
+                       fixedEnergy=None, prevOE=None, **dkw):
+        """One-call Kirchhoff hop onto this OE + reflection at its surface
+        (reference OE.propagate_wave, reflect.py:405-449).  Returns
+        (beamGlobal, beamLocal)."""
+        from ..waves import propagate_wave_to_oe
+        return propagate_wave_to_oe(self, wave, nrays=nrays, key=key,
+                                    fixedEnergy=fixedEnergy, prevOE=prevOE,
+                                    **dkw)
+
     def multiple_reflect(self, beam: Beam, key=None, maxReflections=20):
         """Reflect with up to *maxReflections* bounces on the same (closed
         or strongly curved) surface — whispering-gallery and capillary

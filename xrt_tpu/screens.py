@@ -93,6 +93,16 @@ class Screen:
             out = out.replace(z=out.z * self.compressZ)
         return out
 
+    def expose_wave(self, wave=None, dim1=None, dim2=None, key=None,
+                    fixedEnergy=None, prevOE=None, **dkw):
+        """One-call Kirchhoff hop onto this screen's pixel grid (reference
+        Screen.expose_wave, screens.py:367-421).  Returns the filled
+        Wave."""
+        from .waves import expose_wave_on_screen
+        return expose_wave_on_screen(self, wave, dim1, dim2, key=key,
+                                     fixedEnergy=fixedEnergy,
+                                     prevOE=prevOE, **dkw)
+
     def expose_global(self, beam: Beam, onlyPositivePath=False) -> Beam:
         """Like :meth:`expose` but returns the beam in the global frame
         (cf. screens.py:196-224)."""

@@ -793,3 +793,87 @@ def qualify_sampling(wave: Wave, E, goodlen):
     invLambda = E / CH * 1e7
     fn = (NAx ** 2 + NAz ** 2) * jnp.mean(wave.rDiffr) * invLambda
     return fn, jnp.abs(goodlen / fn)
+
+
+# ---------------------------------------------------------------------------
+# one-call propagation forms (reference reflect.py:405-449,
+# screens.py:367-421, apertures.py:501-542)
+# ---------------------------------------------------------------------------
+
+def _shine_or_diffract(wave, waveOnSelf, key, fixedEnergy=None, **dkw):
+    """Fill *waveOnSelf* from *wave*: a source shines its analytic/filament
+    field directly; anything else Kirchhoff-diffracts the surface field."""
+    prevOE = waveOnSelf.fromOE
+    if hasattr(prevOE, 'shine_wave'):          # synchrotron source
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        E = fixedEnergy if fixedEnergy is not None else \
+            float(wave.E[0]) if wave is not None else None
+        return prevOE.shine_wave(key, waveOnSelf, fixedEnergy=E)
+    if hasattr(prevOE, 'shine') and not hasattr(prevOE, 'reflect'):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return prevOE.shine(key, waveOnSelf)   # analytic Gaussian beams
+    return diffract(wave, waveOnSelf, **dkw)
+
+
+def propagate_wave_to_oe(oe, wave, nrays='auto', key=None,
+                         fixedEnergy=None, prevOE=None, **dkw):
+    """One-call wave hop onto an OE and reflection at its surface
+    (reference OE.propagate_wave, reflect.py:405-449): samples the
+    receiving surface, diffracts (or shines, for a source parent) the
+    incoming *wave* onto it, then reflects without intersection search.
+    *wave.toOE* must be the element the incoming samples live on (as set
+    by every prepare_wave_* sampler).
+
+    Returns (beamGlobal, beamLocal) like reflect."""
+    if prevOE is None:
+        prevOE = getattr(wave, 'toOE', None) if wave is not None else None
+    if prevOE is None:
+        raise ValueError('the incoming beam has no toOE (e.g. it came out '
+                         'of reflect); pass prevOE= explicitly')
+    n = wave.xDiffr.shape[0] if nrays == 'auto' else int(nrays)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    waveOnSelf = prepare_wave_on_oe(oe, prevOE, n, key=k1)
+    waveOnSelf = _shine_or_diffract(wave, waveOnSelf, k2,
+                                    fixedEnergy=fixedEnergy, **dkw)
+    glo = wave_to_global(waveOnSelf)
+    retGlo, retLoc = oe.reflect(glo, noIntersectionSearch=True)
+    if retLoc.area is None:
+        retLoc = retLoc.replace(area=waveOnSelf.area)
+    return retGlo, retLoc
+
+
+def expose_wave_on_screen(screen, wave, dim1, dim2, key=None,
+                          fixedEnergy=None, prevOE=None, **dkw):
+    """One-call wave hop onto a screen pixel grid (reference
+    Screen.expose_wave, screens.py:367-421).  Returns the filled Wave."""
+    if prevOE is None:
+        prevOE = getattr(wave, 'toOE', None) if wave is not None else None
+    if prevOE is None:
+        raise ValueError('the incoming beam has no toOE (e.g. it came out '
+                         'of reflect); pass prevOE= explicitly')
+    waveOnSelf = prepare_wave_on_screen(screen, prevOE, dim1, dim2)
+    return _shine_or_diffract(wave, waveOnSelf, key,
+                              fixedEnergy=fixedEnergy, **dkw)
+
+
+def propagate_wave_to_aperture(aperture, wave, nrays='auto', key=None,
+                               fixedEnergy=None, prevOE=None, **dkw):
+    """One-call wave hop onto aperture samples (reference
+    apertures propagate_wave, apertures.py:501-542).  Returns the filled
+    Wave (samples are drawn inside the opening, so no extra masking)."""
+    if prevOE is None:
+        prevOE = getattr(wave, 'toOE', None) if wave is not None else None
+    if prevOE is None:
+        raise ValueError('the incoming beam has no toOE (e.g. it came out '
+                         'of reflect); pass prevOE= explicitly')
+    n = wave.xDiffr.shape[0] if nrays == 'auto' else int(nrays)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    waveOnSelf = prepare_wave_on_aperture(aperture, prevOE, n, key=k1)
+    return _shine_or_diffract(wave, waveOnSelf, k2,
+                              fixedEnergy=fixedEnergy, **dkw)
