@@ -97,3 +97,45 @@ def test_collimated_mesh_source():
     x = np.asarray(beam.x)
     assert x.min() == -1.0 and x.max() == 1.0
     np.testing.assert_allclose(np.asarray(beam.b), 1.0)
+
+
+def test_nesw_compass_rays():
+    """NESWSource emits exactly the 4 compass rays (geoms.py:849-886)."""
+    import jax
+    from xrt_tpu.sources import NESWSource
+    b = NESWSource(dxprime=2e-4, dzprime=1e-4).shine(jax.random.PRNGKey(0),
+                                                     toGlobal=False)
+    np.testing.assert_allclose(np.asarray(b.a),
+                               [0.0, 2e-4, 0.0, -2e-4], atol=1e-15)
+    np.testing.assert_allclose(np.asarray(b.c),
+                               [1e-4, 0.0, -1e-4, 0.0], atol=1e-15)
+
+
+def test_shrink_source_fits_mirror():
+    """shrink_source trims the mesh divergence until the footprint fits
+    the mirror (geoms.py:1041-1146)."""
+    import jax
+    from xrt_tpu.sources import shrink_source
+    from xrt_tpu.oes import FlatMirror
+
+    pitch = 5e-3
+    P = 1000.0
+    # mirror much smaller than the initial divergence window
+    mirror = FlatMirror.create(center=(0, P, 0), pitch=pitch,
+                               limPhysX=(-1.0, 1.0), limPhysY=(-40, 40))
+
+    def trace(src):
+        beam = src.shine(jax.random.PRNGKey(0))
+        glo, loc = mirror.reflect(beam)
+        return {'foot': loc}
+
+    mesh = shrink_source(trace, 'foot', -5e-3, 5e-3, -1e-3, 1e-3, 21, 21)
+    # footprint of the fitted mesh is fully good
+    out = trace(mesh)['foot']
+    state = np.asarray(out.state)[1:]   # skip the central ray
+    assert (state == 1).all()
+    # the window really shrank: x' limited by the mirror width (+-1 mm at
+    # 1 m => +-1e-3), z' by the length (+-40 mm at grazing 5e-3 =>
+    # +-2e-4 around the specular direction)
+    assert mesh.maxxprime < 2e-3 and mesh.minxprime > -2e-3
+    assert mesh.maxzprime < 1e-3

@@ -237,6 +237,7 @@ class MeshSource:
     polarization: object = struct.field(pytree_node=False,
                                         default='horizontal')
     withCentralRay: bool = struct.field(pytree_node=False, default=True)
+    compass: bool = struct.field(pytree_node=False, default=False)
     fluxes: Optional[jnp.ndarray] = None   # per-node flux, else 1
 
     @classmethod
@@ -244,7 +245,7 @@ class MeshSource:
                maxxprime=1e-4, minzprime=-1e-4, maxzprime=1e-4, nx=11,
                nz=11, distE='lines', energies=(config.DEFAULT_ENERGY,),
                energyWeights=None, polarization='horizontal',
-               withCentralRay=True, fluxes=None):
+               withCentralRay=True, fluxes=None, compass=False):
         dt = config.dtype()
         if distE == 'lines' and isinstance(energies, (int, float)):
             energies = (energies,)
@@ -256,22 +257,29 @@ class MeshSource:
                    energyWeights=None if energyWeights is None
                    else jnp.asarray(energyWeights, dt),
                    distE=distE, polarization=polarization,
-                   withCentralRay=withCentralRay,
+                   withCentralRay=withCentralRay, compass=compass,
                    fluxes=None if fluxes is None
                    else jnp.asarray(fluxes, dt))
 
     @property
     def nrays(self):
+        if self.compass:
+            return 4 + int(self.withCentralRay)
         return self.nx * self.nz + int(self.withCentralRay)
 
     def shine(self, key, toGlobal=True) -> Beam:
         dt = self.center.dtype
         cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
-        xp = np.linspace(self.minxprime, self.maxxprime, self.nx)
-        zp = np.linspace(self.minzprime, self.maxzprime, self.nz)
-        XP, ZP = np.meshgrid(xp, zp)
-        a = jnp.asarray(XP.ravel(), dt)
-        c = jnp.asarray(ZP.ravel(), dt)
+        if self.compass:
+            # N, E, S, W rays (reference NESWSource, geoms.py:849-886)
+            a = jnp.asarray([0.0, self.maxxprime, 0.0, self.minxprime], dt)
+            c = jnp.asarray([self.maxzprime, 0.0, self.minzprime, 0.0], dt)
+        else:
+            xp = np.linspace(self.minxprime, self.maxxprime, self.nx)
+            zp = np.linspace(self.minzprime, self.maxzprime, self.nz)
+            XP, ZP = np.meshgrid(xp, zp)
+            a = jnp.asarray(XP.ravel(), dt)
+            c = jnp.asarray(ZP.ravel(), dt)
         if self.withCentralRay:
             a = jnp.concatenate([jnp.zeros((1,), dt), a])
             c = jnp.concatenate([jnp.zeros((1,), dt), c])
@@ -300,7 +308,7 @@ def NESWSource(name='', center=(0, 0, 0), dxprime=1e-4, dzprime=1e-4,
     return MeshSource.create(
         name=name, center=center, minxprime=-dxprime, maxxprime=dxprime,
         minzprime=-dzprime, maxzprime=dzprime, nx=2, nz=2,
-        withCentralRay=False, **kwargs)
+        withCentralRay=False, compass=True, **kwargs)
 
 
 @struct.dataclass
@@ -350,3 +358,86 @@ class CollimatedMeshSource:
         if toGlobal:
             beam = virgin_local_to_global(beam, self.center)
         return beam
+
+
+def shrink_source(trace_fn, beams, minxprime, maxxprime, minzprime,
+                  maxzprime, nx, nz, center=(0, 0, 0), key=None):
+    """Shrink a mesh source's divergence window until the footprint(s) fit
+    the optical surfaces (the reference utility geoms.py:1041-1146).
+
+    *trace_fn(source) -> {name: Beam}* traces the beamline with the given
+    source; *beams* names the footprint beams whose ``state`` must become
+    all-good.  Returns the fitted :class:`MeshSource`.
+
+    Functional adaptation of the reference: instead of swapping
+    ``beamLine.sources[0]`` in place, the caller's *trace_fn* closes over
+    the beamline and receives the probe source."""
+    import jax as _jax
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    if not isinstance(beams, (tuple, list)):
+        beams = (beams,)
+    mesh = None
+    for ibeam in beams:
+        # sanity probe: the four compass rays must land on the surface
+        # (the reference also uses them for footprint-orientation
+        # discovery, which the direct-space trim below does not need)
+        nesw = NESWSource(center=center, dxprime=maxxprime * 0.1,
+                          dzprime=maxzprime * 0.1)
+        beam = trace_fn(nesw)[ibeam]
+        state = np.asarray(beam.state)
+        if (state != 1).any():
+            raise ValueError('cannot shrink the source: the NESW probe '
+                             'rays miss the surface')
+        mesh = MeshSource.create(
+            center=center, minxprime=minxprime, maxxprime=maxxprime,
+            minzprime=minzprime, maxzprime=maxzprime, nx=nx, nz=nz)
+        beam = trace_fn(mesh)[ibeam]
+        state = np.asarray(beam.state)
+        badNum = (state[1:] if mesh.withCentralRay else state) \
+            .reshape(nz, nx) != 1
+        # trim the divergence window by peeling grid edges: the grid IS
+        # the (z', x') source space (row 0 = minzprime, col 0 =
+        # minxprime), so edge trims map directly to the window bounds.
+        # (The reference deletes interior rows through footprint-side
+        # bookkeeping, geoms.py:1072-1140; edge peeling converges to the
+        # same all-good window without the index-shift pitfalls.)
+        dxp = (maxxprime - minxprime) / (nx - 1)
+        dzp = (maxzprime - minzprime) / (nz - 1)
+        view = badNum
+        nxLo = nxHi = nzLo = nzHi = 0
+        while view.size and view.sum() > 0:
+            cand = {'zlo': view[0].sum() / view.shape[1],
+                    'zhi': view[-1].sum() / view.shape[1],
+                    'xlo': view[:, 0].sum() / view.shape[0],
+                    'xhi': view[:, -1].sum() / view.shape[0]}
+            side = max(cand, key=cand.get)
+            if side == 'zlo':
+                nzLo += 1
+                view = view[1:]
+            elif side == 'zhi':
+                nzHi += 1
+                view = view[:-1]
+            elif side == 'xlo':
+                nxLo += 1
+                view = view[:, 1:]
+            else:
+                nxHi += 1
+                view = view[:, :-1]
+        # one extra step of safety margin, like the reference
+        if nxLo > 1:
+            nxLo += 1
+        if nxHi > 1:
+            nxHi += 1
+        if nzLo > 1:
+            nzLo += 1
+        if nzHi > 1:
+            nzHi += 1
+        minxprime += nxLo * dxp
+        maxxprime -= nxHi * dxp
+        minzprime += nzLo * dzp
+        maxzprime -= nzHi * dzp
+        mesh = MeshSource.create(
+            center=center, minxprime=minxprime, maxxprime=maxxprime,
+            minzprime=minzprime, maxzprime=maxzprime, nx=nx, nz=nz)
+    return mesh
