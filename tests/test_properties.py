@@ -212,3 +212,30 @@ def test_json_roundtrip(cls):
         np.testing.assert_allclose(
             a, b, rtol=1e-12, atol=1e-12,
             err_msg=f'{cls.__name__}.{k} differs after round-trip')
+
+
+def test_xml_roundtrip_beamline():
+    """The Qook XML layout format round-trips like JSON
+    (reference beamline.py:1549-1640)."""
+    from xrt_tpu.oes import ToroidMirror
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.sources import GeometricSource
+    bl = BeamLine(name='xmltest', alignE=9000.0)
+    bl.add('src', GeometricSource.create(nrays=100))
+    bl.add('m1', _build(oes.ToroidMirror))
+    bl.add('scr', Screen.create(center=(0, 1000, 0)))
+    text = bl.export_to_xml()
+    assert text.lstrip().startswith('<?xml')
+    bl2 = BeamLine.load_from_xml(text)
+    assert [n for n, *_ in bl2.flow] == ['src', 'm1', 'scr']
+    p1 = _element_params(bl['m1'])
+    p2 = _element_params(bl2['m1'])
+    assert set(p1) == set(p2)
+    for k in p1:
+        try:
+            a = np.asarray(p1[k], dtype=float)
+            b = np.asarray(p2[k], dtype=float)
+        except (TypeError, ValueError):
+            assert p1[k] == p2[k]
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-12)

@@ -308,6 +308,59 @@ class BeamLine:
 
     # ------------------------------------------------------------------
     # serialization (cf. beamline.py:1549-1640)
+    def export_to_xml(self, fileName=None):
+        """XML layout, the second Qook format (reference
+        beamline.py:1549-1640).  Same content as the JSON layout."""
+        import xml.etree.ElementTree as ET
+        from xml.dom import minidom
+        root = ET.Element('beamline', name=self.name,
+                          azimuth=repr(self.azimuth),
+                          height=repr(self.height),
+                          alignE=repr(self.alignE))
+        for name, kind, method, kwargs in self.flow:
+            el = self._elements[name]
+            e = ET.SubElement(root, 'element', name=name, kind=kind,
+                              method=method,
+                              **{'class': type(el).__name__,
+                                 'module': type(el).__module__})
+            for k, v in _element_params(el).items():
+                p = ET.SubElement(e, 'param', name=k)
+                p.text = json.dumps(v)
+        text = minidom.parseString(ET.tostring(root)).toprettyxml(
+            indent=' ')
+        if fileName:
+            with open(fileName, 'w') as f:
+                f.write(text)
+        return text
+
+    @classmethod
+    def load_from_xml(cls, fileName_or_text, materials=None):
+        """Rebuild a beamline from its XML layout (see
+        :meth:`export_to_xml`)."""
+        import importlib
+        import xml.etree.ElementTree as ET
+        if isinstance(fileName_or_text, str) and \
+                fileName_or_text.lstrip().startswith('<'):
+            root = ET.fromstring(fileName_or_text)
+        else:
+            root = ET.parse(fileName_or_text).getroot()
+        bl = cls(azimuth=float(root.get('azimuth', 0.0)),
+                 height=float(root.get('height', 0.0)),
+                 alignE=float(root.get('alignE', 9000.0)),
+                 name=root.get('name', ''))
+        for e in root.findall('element'):
+            mod = importlib.import_module(e.get('module'))
+            ecls = getattr(mod, e.get('class'))
+            params = {p.get('name'): json.loads(p.text)
+                      for p in e.findall('param')}
+            name = e.get('name')
+            if materials and name in materials:
+                params['material'] = materials[name]
+            el = ecls.create(**params) if hasattr(ecls, 'create') \
+                else ecls(**params)
+            bl.add(name, el, kind=e.get('kind'), method=e.get('method'))
+        return bl
+
     def export_to_json(self, fileName=None):
         layout = {'name': self.name, 'azimuth': self.azimuth,
                   'height': self.height, 'alignE': self.alignE,
