@@ -72,3 +72,41 @@ def test_runner_records_stages():
     d = profiler.as_dict()
     assert d['runner.step']['calls'] == 3
     assert d['runner.accumulate']['calls'] == 3
+
+
+def test_update_every_saves_intermediate(tmp_path):
+    """updateEvery redraws the figures mid-run (reference
+    runner.py:241-247)."""
+    import os
+    import jax
+    from xrt_tpu.sources import GeometricSource
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.plotspec import XYCPlot, XYCAxis
+    from xrt_tpu.runner import run_ray_tracing
+
+    src = GeometricSource.create(
+        nrays=200, dx=0.1, dz=0.05, dxprime=1e-5, dzprime=1e-5,
+        distE='flat', energies=(8990.0, 9010.0),
+        polarization='horizontal')
+    screen = Screen.create(center=(0, 1000.0, 0))
+
+    def rp(bl, key):
+        return {'scr': screen.expose(src.shine(key))}
+
+    fn = str(tmp_path / 'live.png')
+    saves = []
+    plot = XYCPlot(beam='scr', xaxis=XYCAxis('x', 'mm', limits=(-1, 1)),
+                   yaxis=XYCAxis('z', 'mm', limits=(-1, 1)),
+                   caxis=XYCAxis('energy', 'eV', limits=(8990, 9010)),
+                   saveName=fn)
+    import xrt_tpu.plotting as plotting
+    orig = plotting.save_plot
+    plotting.save_plot = lambda *a, **k: saves.append(a[1]) or orig(*a, **k)
+    try:
+        run_ray_tracing([plot], repeats=4, run_process=rp, updateEvery=2,
+                        key=jax.random.PRNGKey(0))
+    finally:
+        plotting.save_plot = orig
+    # one mid-run refresh (it=2) + the final save
+    assert saves.count(fn) == 2
+    assert os.path.exists(fn)

@@ -472,6 +472,14 @@ def run_ray_tracing(plots, repeats=1, beamLine=None, run_process=None,
             with _pstage('runner.accumulate'):
                 for plot, h in zip(plots, hists):
                     _accumulate(plot, h)
+            if updateEvery and (it + 1) % updateEvery == 0 and \
+                    (it + 1) < repeats:
+                # live plot refresh (reference runner.py:241-247: every
+                # updateEvery iterations the figures redraw)
+                from .plotting import save_plot
+                for plot in plots:
+                    if plot.saveName:
+                        save_plot(plot, plot.saveName)
             if pickleEvery and (it + 1) % pickleEvery == 0:
                 for plot in plots:
                     if plot.persistentName:
