@@ -152,3 +152,44 @@ def test_aperture_set_on_z_actuator():
     assert np.isclose(float(ap2.right), 2.0)
     edge = st.select_aperture('top-edge', targetZ=3.0)
     assert np.isinf(float(edge.bottom)) and float(edge.top) == 3.0
+
+
+def test_grad_through_kirchhoff_wave_chain_fd():
+    """End-to-end differentiability of the WAVE path (a capability the
+    reference does not have at all): the focal-plane intensity of a
+    Gaussian beam diffracted through a slit is differentiated w.r.t. the
+    source waist w0 through shine + the Kirchhoff integral, and checked
+    against finite differences."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.apertures import RectangularAperture
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.sources import GaussianBeam
+    from xrt_tpu.waves import (prepare_wave_on_aperture,
+                               prepare_wave_on_screen, diffract)
+
+    E0 = 9000.0
+    L = 5000.0
+    slit = RectangularAperture.create(center=(0, 0, 0),
+                                      opening=(-0.1, 0.1, -0.1, 0.1))
+    screen = Screen.create(center=(0, L, 0))
+    gb0 = GaussianBeam.create(w0=0.05, distE='lines', energies=(E0,),
+                              polarization='horizontal')
+    waveSlit = prepare_wave_on_aperture(slit, gb0, 300,
+                                        key=jax.random.PRNGKey(1))
+    zs = np.linspace(-0.2, 0.2, 41)
+    waveScr = prepare_wave_on_screen(screen, slit, np.asarray([0.0]), zs)
+
+    def focal_peak(w0):
+        gb = gb0.replace(w0=w0)
+        src = gb.shine(jax.random.PRNGKey(2), waveSlit, toGlobal=False)
+        out = diffract(src, waveScr)
+        I = out.Jss + out.Jpp
+        return jnp.sum(I * jnp.exp(-(out.z / 0.05) ** 2))  # soft peak flux
+
+    w0 = jnp.asarray(0.05)
+    g = jax.grad(focal_peak)(w0)
+    eps = 1e-5
+    fd = (focal_peak(w0 + eps) - focal_peak(w0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+    assert abs(float(g)) > 0
