@@ -110,3 +110,13 @@ def test_update_every_saves_intermediate(tmp_path):
     # one mid-run refresh (it=2) + the final save
     assert saves.count(fn) == 2
     assert os.path.exists(fn)
+
+
+def test_color_print_and_verbosity(capsys):
+    from xrt_tpu import singletons as sg
+    sg.colorPrint('hello', 'RED')
+    sg.colorPrint('hidden', 'RED', verbosity=sg._VERBOSITY_ + 1)
+    out = capsys.readouterr().out
+    assert 'hello' in out and 'hidden' not in out
+    assert sg.is_sequence([1, 2]) and sg.is_sequence((1,))
+    assert not sg.is_sequence('abc') and not sg.is_sequence(3.0)
