@@ -32,6 +32,8 @@ from xml.dom import minidom
 
 import numpy as np
 
+from . import units
+
 #: parameters exposed as orientation PVs (reference _sets_units.py:12-14)
 ORIENTATION_FIELDS = ('center', 'pitch', 'roll', 'yaw', 'bragg_',
                       'braggAngle', 'positionRoll', 'ex', 'ez')
@@ -126,20 +128,23 @@ def element_records(name: str, element: Any) -> List[PvSpec]:
         if arr is None or not np.issubdtype(arr.dtype, np.number):
             continue
         group = _group_of(fname)
+        egu = units.unit_of(fname)
+        meta = {'egu': egu} if egu else {}
         if arr.ndim == 0:
             pvs.append(PvSpec(f'{oename}:{fname}', fname, fname, 'number',
-                              'rw', float(arr), group))
+                              'rw', float(arr), group, dict(meta)))
         elif arr.ndim == 1 and fname == 'center':
             for i, comp in enumerate('xyz'):
                 pvs.append(PvSpec(f'{oename}:center:{comp}',
                                   f'Center {comp}', f'center.{comp}',
                                   'number', 'rw', float(arr[i]),
-                                  'Orientation'))
+                                  'Orientation', {'egu': 'mm'}))
         elif arr.ndim == 1 and arr.size == 2 and fname.startswith('lim'):
             for i, comp in enumerate(('lmin', 'lmax')):
                 pvs.append(PvSpec(f'{oename}:{fname}:{comp}',
                                   f'{fname} {comp}', f'{fname}.{comp}',
-                                  'number', 'rw', float(arr[i]), 'Shape'))
+                                  'number', 'rw', float(arr[i]), 'Shape',
+                                  dict(meta)))
     return pvs
 
 
