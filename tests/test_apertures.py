@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from xrt_tpu.apertures import (RectangularAperture, RectangularBeamStop,
                                RoundAperture, RoundBeamStop,
                                PolygonalAperture, DoubleSlit,
-                               GridAperture, SiemensStar)
+                               DoubleBeamStop, GridAperture, GridBeamStop,
+                               SiemensStar)
 from xrt_tpu.sources import GeometricSource
 
 E0 = 9000.0
@@ -68,6 +69,17 @@ def test_double_slit_shade():
     # open area = rect * (1 - shade width fraction)
     expected = (2.0 * 2.0) * (1 - 0.4) / AREA_BEAM
     np.testing.assert_allclose(frac(ds), expected, rtol=2e-2)
+    stop = DoubleBeamStop(center=(0, P, 0), opening=opening,
+                          shadeFraction=(0.3, 0.7))
+    np.testing.assert_allclose(frac(ds) + frac(stop), 1.0, atol=1e-12)
+
+
+def test_grid_beamstop_complements_grid():
+    ap = GridAperture.create(center=(0, P, 0), dx=0.1, dz=0.1, px=0.5,
+                             pz=0.5, nx=3, nz=3)
+    stop = GridBeamStop(center=(0, P, 0), dx=0.1, dz=0.1, px=0.5,
+                        pz=0.5, nx=3, nz=3)
+    np.testing.assert_allclose(frac(ap) + frac(stop), 1.0, atol=1e-12)
 
 
 def test_grid_fill_factor():

@@ -331,6 +331,14 @@ class DoubleSlit(_ApertureBase):
         return inRect & ~inShade
 
 
+def DoubleBeamStop(name='', center=(0, 0, 0), opening=(-1, 1, -1, 1),
+                   shadeFraction=(0.3, 0.7), x='auto', z='auto'):
+    """DoubleSlit in beam-stop mode (apertures.py:1023): the two strips
+    block instead of transmit."""
+    return DoubleSlit.create(name, center, opening, shadeFraction, x, z,
+                             isBeamStop=True)
+
+
 @struct.dataclass
 class PolygonalAperture(_ApertureBase):
     """Opening bounded by a closed polygon given by its vertices (N, 2) in
@@ -401,6 +409,14 @@ class GridAperture(_ApertureBase):
         inGridX = jnp.abs(x) <= (self.nx + 0.5) * self.px
         inGridZ = jnp.abs(z) <= (self.nz + 0.5) * self.pz
         return hx & hz & inGridX & inGridZ
+
+
+def GridBeamStop(name='', center=(0, 0, 0), dx=0.1, dz=0.1, px=1.0,
+                 pz=1.0, nx=7, nz=7, x='auto', z='auto'):
+    """GridAperture in beam-stop mode (apertures.py:1450): the grid of
+    rectangles blocks instead of transmits."""
+    return GridAperture.create(name, center, dx, dz, px, pz, nx, nz, x, z,
+                               isBeamStop=True)
 
 
 @struct.dataclass
