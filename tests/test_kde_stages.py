@@ -96,3 +96,41 @@ def test_dummy_backend():
     assert x.shape == (1000,) and y.shape == (1000,)
     assert float(I.sum()) == 1000
     assert np.allclose(np.asarray(e), np.asarray(x) + 2 * np.asarray(y) + 5000)
+
+
+def test_mirror_on_tripod_with_two_x_stages():
+    from xrt_tpu.oes import MirrorOnTripodWithTwoXStages, BentFlatMirror
+    jacks = [[-200.0, -300.0, 0.0], [200.0, -300.0, 0.0], [0.0, 350.0, 0.0]]
+    center = [0.0, 20000.0, 1400.0]
+    pitch0, roll0, yaw0, dx0 = 4e-3, 1.2e-3, 2e-3, 3.0
+    # drive the supports to the wanted pose
+    t = Tripod(*[list(j) for j in jacks], center=list(center), height=1400.0)
+    t.set_jacks(pitch=pitch0, roll=roll0)
+    st = TwoXStages(tx1=[0.0, -250.0], tx2=[0.0, 250.0], dx=dx0)
+    st.set_x_stages(yaw=yaw0)
+    # the factory reads the same motor positions back into an OE pose
+    oe = MirrorOnTripodWithTwoXStages(
+        BentFlatMirror, jack1=t.jack1, jack2=t.jack2, jack3=t.jack3,
+        tx1=st.tx1, tx2=st.tx2, center=center, height=1400.0, R=1e6)
+    assert abs(float(oe.pitch) - pitch0) < 1e-7
+    assert abs(float(oe.roll) - roll0) < 1e-7
+    assert abs(float(oe.yaw) - yaw0) < 1e-10
+    assert abs(float(oe.center[0]) - dx0) < 1e-10
+    assert abs(float(oe.center[2]) - center[2]) < 1e-5
+
+
+def test_dcm_on_tripod_with_one_x_stage():
+    from xrt_tpu.oes import DCMOnTripodWithOneXStage
+    import xrt_tpu.materials as xm
+    jacks = [[-100.0, -100.0, 0.0], [100.0, -100.0, 0.0], [0.0, 100.0, 0.0]]
+    center = [0.0, 30000.0, 1000.0]
+    t = Tripod(*[list(j) for j in jacks], center=list(center), height=1000.0)
+    t.set_jacks(pitch=0.0, roll=0.0)
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1))
+    dcm = DCMOnTripodWithOneXStage(
+        jack1=t.jack1, jack2=t.jack2, jack3=t.jack3, dx=2.5,
+        center=center, height=1000.0, material=cr, alignE=9000.0,
+        fixedOffset=20.0)
+    assert abs(float(dcm.center[0]) - 2.5) < 1e-12
+    assert abs(float(dcm.center[2]) - 1000.0) < 1e-6
+    assert float(dcm.braggAngle) > 0.2

@@ -11,7 +11,7 @@ differentiable end to end.
 __version__ = '0.1.0'
 
 from . import config, physconsts
-from .beam import Beam, new_beam
+from .beam import Beam, new_beam, copy_beam
 
 
 def __getattr__(name):
@@ -27,4 +27,5 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
-__all__ = ['config', 'physconsts', 'Beam', 'new_beam', '__version__']
+__all__ = ['config', 'physconsts', 'Beam', 'new_beam', 'copy_beam',
+           '__version__']

@@ -149,6 +149,14 @@ def concatenate(b1: Beam, b2: Beam) -> Beam:
     return Beam(**leaves)
 
 
+def copy_beam(beam: Beam) -> Beam:
+    """Independent copy of a beam (cf. reference copy_beam, beams.py:355).
+
+    JAX arrays are immutable, so sharing leaves is always safe; this exists
+    for API parity and for detaching a beam from donated/aliased buffers."""
+    return jax.tree_util.tree_map(jnp.array, beam)
+
+
 def rotate_coherency_matrix(Jss, Jpp, Jsp, roll):
     """Rotate the 2x2 coherency matrix by angle ``roll`` about the beam axis,
     J' = R J R^-1 (cf. reference beams.py:394-425)."""

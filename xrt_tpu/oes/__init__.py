@@ -3,10 +3,11 @@
 TPU-native equivalents of xrt/backends/raycing/oes/.
 """
 from .base import OE, find_intersection
-from .dcm import DCM, DCMwithSagittalFocusing
+from .dcm import DCM, DCMwithSagittalFocusing, DCMOnTripodWithOneXStage
 from .parametric import (EllipticalMirrorParam, EllipticalMirror,
                          ParabolicalMirrorParam, ParabolicMirror,
                          HyperbolicMirrorParam, HyperbolicMirror,
+                         SurfaceOfRevolution,
                          EllipsoidCapillaryMirror,
                          ParaboloidCapillaryMirror,
                          HyperboloidCapillaryMirror)
@@ -23,6 +24,7 @@ from .laue import (LauePlate, BentLaueCylinder, GroundBentLaueCylinder,
 from .mirrors import (FlatMirror, BentFlatMirror, SphericalMirror,
                       ToroidMirror, CylindricalMirror, ConicalMirror,
                       SimpleVCM, VCM, SimpleVFM, VFM, DualVFM,
+                      MirrorOnTripodWithTwoXStages,
                       rmer_from_coddington, rsag_from_coddington)
 from .mesh3d import MeshOE, read_stl
 
@@ -42,5 +44,7 @@ __all__ = ['OE', 'find_intersection', 'DicedOE', 'JohannCylinder',
            'HyperboloidCapillaryMirror', 'FlatMirror', 'BentFlatMirror',
            'SphericalMirror', 'ToroidMirror', 'CylindricalMirror',
            'ConicalMirror', 'SimpleVCM', 'VCM', 'SimpleVFM', 'VFM', 'DualVFM',
+           'MirrorOnTripodWithTwoXStages', 'DCMOnTripodWithOneXStage',
+           'SurfaceOfRevolution',
            'rmer_from_coddington', 'rsag_from_coddington',
            'MeshOE', 'read_stl']

@@ -148,3 +148,25 @@ class DCMwithSagittalFocusing(DCM):
         a = -x / self.Rs
         norm = jnp.sqrt(a ** 2 + 1)
         return [a / norm, jnp.zeros_like(y), 1.0 / norm]
+
+
+def DCMOnTripodWithOneXStage(dcm_cls=DCM, *, jack1, jack2, jack3, dx,
+                             center, height=0.0, positionRoll=0.0,
+                             **kwargs):
+    """Create a DCM with its orientation read from a tripod + one-X-stage
+    support (reference DCMOnTripodWithOneXStage, oes/__init__.py:666-705):
+    the single stage gives the lateral dx, the jack z's give
+    (pitch, roll, center z).  Counterpart of
+    :func:`xrt_tpu.oes.mirrors.MirrorOnTripodWithTwoXStages`.
+    """
+    from ..stages import Tripod
+    # the tripod is defined in its horizontal state (all jack z equal);
+    # the measured jack z's are then motor readbacks
+    tp = Tripod([jack1[0], jack1[1], 0.0], [jack2[0], jack2[1], 0.0],
+                [jack3[0], jack3[1], 0.0], center=list(center),
+                height=height)
+    tp.jack1[2], tp.jack2[2], tp.jack3[2] = jack1[2], jack2[2], jack3[2]
+    pitch, roll, cz = tp.get_orientation(positionRoll)
+    return dcm_cls.create(center=(center[0] + dx, center[1], cz),
+                          pitch=pitch, roll=roll,
+                          positionRoll=positionRoll, **kwargs)

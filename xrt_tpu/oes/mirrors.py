@@ -78,6 +78,34 @@ SimpleVCM = BentFlatMirror
 VCM = BentFlatMirror
 
 
+def MirrorOnTripodWithTwoXStages(oe_cls=FlatMirror, *, jack1, jack2, jack3,
+                                 tx1, tx2, center, height=0.0,
+                                 positionRoll=0.0, **kwargs):
+    """Create *oe_cls* with its orientation read from a tripod + two-X-stage
+    support (reference MirrorOnTripodWithTwoXStages, oes/__init__.py:209-235
+    and VCM:306 / VFM:414 when given a bent class).
+
+    The measured stage x's give (dx, yaw), the measured jack z's give
+    (pitch, roll, center z).  OEs here are immutable pytrees, so instead of
+    a mutable mixin the support is applied at creation time; keep the
+    :mod:`xrt_tpu.stages` objects around for motor readouts
+    (``set_jacks`` / ``set_x_stages``).
+    """
+    from ..stages import Tripod, TwoXStages
+    st = TwoXStages(tx1=list(tx1), tx2=list(tx2))
+    dx, yaw = st.get_orientation(positionRoll)
+    # the tripod is defined in its horizontal state (all jack z equal);
+    # the measured jack z's are then motor readbacks
+    tp = Tripod([jack1[0], jack1[1], 0.0], [jack2[0], jack2[1], 0.0],
+                [jack3[0], jack3[1], 0.0], center=list(center),
+                height=height)
+    tp.jack1[2], tp.jack2[2], tp.jack3[2] = jack1[2], jack2[2], jack3[2]
+    pitch, roll, cz = tp.get_orientation(positionRoll)
+    return oe_cls.create(center=(center[0] + dx, center[1], cz),
+                         pitch=pitch, roll=roll, yaw=yaw,
+                         positionRoll=positionRoll, **kwargs)
+
+
 @struct.dataclass
 class SphericalMirror(OE):
     """Spherical mirror of radius R: z = R - sqrt(R^2 - x^2 - y^2)."""

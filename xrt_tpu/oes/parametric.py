@@ -256,6 +256,12 @@ class _RevolutionMethods:
         return r * jnp.sin(phi), s, r * jnp.cos(phi)
 
 
+#: Public name matching the reference's base class for capillary optics
+#: (parametric.py:717).  Subclass together with :class:`~xrt_tpu.oes.OE`
+#: and define ``local_r(s, phi)`` / ``local_n(s, phi)``.
+SurfaceOfRevolution = _RevolutionMethods
+
+
 @struct.dataclass
 class EllipsoidCapillaryMirror(_RevolutionMethods, OE):
     """Ellipsoid-of-revolution capillary ("mirror lens"); the center is on
