@@ -54,3 +54,25 @@ def test_beam_from_file_source(tmp_path):
     replay = src.shine()
     assert replay.nrays == 200
     _assert_beams_equal(beam, replay)
+
+
+def test_filter_and_replace_by_index():
+    import numpy as np
+    import jax.numpy as jnp
+    from xrt_tpu.beam import (new_beam, filter_by_index, filter_good,
+                              replace_by_index, copy_beam)
+    b = new_beam(10, energy=9000.0)
+    b = b.replace(state=jnp.asarray([1, 2, 1, 3, 1, 1, 2, 1, 1, 1]))
+    g = filter_good(b)
+    assert g.nrays == 7
+    assert np.all(np.asarray(g.state) == 1)
+    sub = filter_by_index(b, np.asarray([0, 2, 4]))
+    assert sub.nrays == 3
+    other = b.replace(x=b.x + 5.0)
+    mask = np.zeros(10, bool)
+    mask[3] = True
+    rep = replace_by_index(b, mask, other)
+    assert float(rep.x[3]) == float(b.x[3]) + 5.0
+    assert float(rep.x[0]) == float(b.x[0])
+    c = copy_beam(b)
+    assert np.all(np.asarray(c.E) == np.asarray(b.E))

@@ -149,6 +149,39 @@ def concatenate(b1: Beam, b2: Beam) -> Beam:
     return Beam(**leaves)
 
 
+def filter_by_index(beam: Beam, indarr) -> Beam:
+    """Leave only rays indexed/masked by *indarr* (cf. reference
+    Beam.filter_by_index, beams.py:244).
+
+    Host-side utility: the output length is data-dependent, so this cannot
+    run under jit — inside compiled code use the ``state`` mask instead
+    (masked compute is the TPU-native form of ray filtering)."""
+    indarr = jnp.asarray(indarr)
+    return jax.tree_util.tree_map(
+        lambda a: a[indarr] if a.ndim else a, beam)
+
+
+def filter_good(beam: Beam) -> Beam:
+    """Leave only rays with state == 1 (cf. Beam.filter_good, beams.py:258).
+    Host-side; see :func:`filter_by_index`."""
+    import numpy as np
+    return filter_by_index(beam, np.asarray(beam.state) == 1)
+
+
+def replace_by_index(beam: Beam, indarr, source: Beam) -> Beam:
+    """Replace rays at *indarr* with the same-indexed rays of *source*
+    (cf. Beam.replace_by_index, beams.py:263).  Jit-compatible when *indarr*
+    is a boolean mask of static shape."""
+    indarr = jnp.asarray(indarr)
+    if indarr.dtype == bool:
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(indarr, b, a) if a.ndim else a,
+            beam, source)
+    return jax.tree_util.tree_map(
+        lambda a, b: a.at[indarr].set(b[indarr]) if a.ndim else a,
+        beam, source)
+
+
 def copy_beam(beam: Beam) -> Beam:
     """Independent copy of a beam (cf. reference copy_beam, beams.py:355).
 

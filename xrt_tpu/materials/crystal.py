@@ -102,6 +102,10 @@ class _CrystalMethods:
     def chiToF(self):
         return -R0 / PI / self.V  # note the minus (crystal.py:189)
 
+    @property
+    def chiToFd2(self):
+        return jnp.abs(self.chiToF) * self.d ** 2  # crystal.py:190
+
     def get_F_chi(self, E, sinThetaOverLambda):
         """(F0, Fhkl, Fhkl_, chi0, chih, chih_) — note the conjugation
         required by the Belyakov-Dmitrienko formulas (crystal.py:285-294)."""
@@ -223,6 +227,33 @@ class _CrystalMethods:
             w = 1.0 / (SQRT2PI * mosaicity)
             return 10. / kappas, 10. / kappap, 10. / (w * Qs), 10. / (w * Qp)
         return 10. / kappas, 10. / kappap
+
+    def get_extinction_depth(self, E):
+        """Extinction lengths measured normal to the surface, mm
+        (crystal.py:1085-1089)."""
+        sinThetaB = jnp.sin(self.get_Bragg_angle(E))
+        return tuple(r * sinThetaB for r in self.get_extinction_lengths(E))
+
+    def get_refractive_correction(self, E, beamInDotNormal=None, alpha=None):
+        """Difference in the glancing angle of incidence between incident and
+        exit waves, (theta_c - theta'_c) = w_H/2 (b - 1/b) tan(thetaB), after
+        Shvyd'ko Eqs. 2.152/2.112 (crystal.py:1184-1215).  Give exactly one
+        of *beamInDotNormal* or the asymmetry angle *alpha* [rad].  Not valid
+        close to backscattering."""
+        thetaB = self.get_Bragg_angle(E)
+        if (beamInDotNormal is None) == (alpha is None):
+            raise ValueError(
+                "one of 'beamInDotNormal' or 'alpha' must be given")
+        if beamInDotNormal is not None:
+            alpha = jnp.arcsin(jnp.asarray(beamInDotNormal)) - thetaB
+        else:
+            alpha = jnp.asarray(alpha)
+            beamInDotNormal = jnp.sin(thetaB + alpha)
+        pm = -1.0 if self.geom.startswith('Bragg') else 1.0
+        beamOutDotNormal = pm * jnp.sin(thetaB - alpha)
+        b = beamInDotNormal / beamOutDotNormal
+        F0 = self.get_F_chi(E, 0.5 / self.d)[0]
+        return -self.chiToFd2 * F0.real * (b - 1 / b) * jnp.tan(thetaB)
 
     def get_amplitude_mosaic(self, E, beamInDotNormal, beamOutDotNormal=None,
                              beamInDotHNormal=None):
