@@ -326,6 +326,9 @@ class BeamLine:
             for k, v in _element_params(el).items():
                 p = ET.SubElement(e, 'param', name=k)
                 p.text = json.dumps(v)
+            for fname, mdict in _element_materials(el).items():
+                m = ET.SubElement(e, 'material', name=fname)
+                m.text = json.dumps(mdict)
         text = minidom.parseString(ET.tostring(root)).toprettyxml(
             indent=' ')
         if fileName:
@@ -353,6 +356,10 @@ class BeamLine:
             ecls = getattr(mod, e.get('class'))
             params = {p.get('name'): json.loads(p.text)
                       for p in e.findall('param')}
+            for m in e.findall('material'):
+                from .materials.serialize import material_from_dict
+                params[m.get('name')] = material_from_dict(
+                    json.loads(m.text))
             name = e.get('name')
             if materials and name in materials:
                 params['material'] = materials[name]
@@ -371,6 +378,9 @@ class BeamLine:
                      'class': type(el).__name__,
                      'module': type(el).__module__,
                      'params': _element_params(el)}
+            mats = _element_materials(el)
+            if mats:
+                entry['materials'] = mats
             layout['elements'].append(entry)
         text = json.dumps(layout, indent=1)
         if fileName:
@@ -398,6 +408,10 @@ class BeamLine:
             mod = importlib.import_module(entry['module'])
             ecls = getattr(mod, entry['class'])
             params = dict(entry['params'])
+            if entry.get('materials'):
+                from .materials.serialize import material_from_dict
+                for fname, mdict in entry['materials'].items():
+                    params[fname] = material_from_dict(mdict)
             if materials and entry['name'] in materials:
                 params['material'] = materials[entry['name']]
             el = ecls.create(**params) if hasattr(ecls, 'create') \
@@ -470,6 +484,25 @@ def _element_params(el):
         for k in drop:
             out.pop(k, None)
         out.update(extra)
+    return out
+
+
+def _element_materials(el):
+    """Material-valued fields of an element, serialized (the reference
+    Qook layouts carry material definitions next to the element tree,
+    beamline.py:1549-1640).  Non-serializable materials (e.g. TXM voxel
+    volumes) are silently left out — pass them via ``materials=`` on
+    load."""
+    from .materials.serialize import material_to_dict
+    from .materials import Material, EmptyMaterial, Multilayer
+    out = {}
+    for fname in getattr(type(el), '__dataclass_fields__', {}):
+        val = getattr(el, fname)
+        if isinstance(val, (Material, EmptyMaterial, Multilayer)):
+            try:
+                out[fname] = material_to_dict(val)
+            except ValueError:
+                pass
     return out
 
 
