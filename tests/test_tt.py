@@ -145,3 +145,42 @@ def test_bent_laue_cylinder_oe_with_tt():
     I = np.asarray(glo.Jss + glo.Jpp)[good]
     assert np.all(np.isfinite(I))
     assert I.max() > 1e-3  # some rays inside the bent rocking curve
+
+
+def test_thick_bent_bragg_is_stable():
+    """Thick bent crystals: the plain-RK4 Riccati exploded (NaN -> zeros)
+    once dz*|c0s| crossed RK4's imaginary-axis stability bound; the Lawson
+    integrating-factor step integrates the linear phase exactly and must
+    reproduce the saturated thick-crystal reflectivity at any thickness."""
+    E0 = 9000.0
+    scan = np.array([0.0, 15e-6, 30e-6])
+    R_by_t = {}
+    for t_mm in (0.15, 0.3, 1.0):
+        si = CrystalSi.create(hkl=(1, 1, 1), t=t_mm)
+        thetaB = float(si.get_Bragg_angle(E0))
+        E = jnp.full(scan.shape, E0)
+        bIn = -jnp.sin(thetaB + jnp.asarray(scan))
+        c1, c2, ir1 = tt.compute_tt_params(si, 0.0, Rm=2000.0, Rs=np.inf)
+        rs, _ = tt.tt_amplitudes(E, bIn, None, None, si, c1, c2, ir1,
+                                 nsteps=4000, autoLimits=False)
+        R_by_t[t_mm] = np.abs(np.asarray(rs)) ** 2
+        assert np.all(np.isfinite(R_by_t[t_mm]))
+        assert R_by_t[t_mm].max() > 0.9    # Darwin-band reflectivity
+    # saturation: deeper crystal changes nothing at the 1e-3 level
+    np.testing.assert_allclose(R_by_t[0.3], R_by_t[0.15], atol=1e-3)
+    np.testing.assert_allclose(R_by_t[1.0], R_by_t[0.15], atol=1e-3)
+
+
+def test_thick_bent_laue_is_stable():
+    E0 = 9000.0
+    si = CrystalSi.create(hkl=(1, 1, 1), t=0.3, geom='Laue reflected')
+    thetaB = float(si.get_Bragg_angle(E0))
+    scan = np.linspace(-100e-6, 100e-6, 5)
+    E = jnp.full(scan.shape, E0)
+    th = thetaB + jnp.asarray(scan)
+    c1, c2, ir1 = tt.compute_tt_params(si, 0.0, Rm=2000.0, Rs=np.inf)
+    rs, _ = tt.tt_amplitudes(E, -jnp.cos(th), -jnp.cos(th), jnp.sin(th),
+                             si, c1, c2, ir1, nsteps=8000,
+                             autoLimits=False)
+    R = np.abs(np.asarray(rs)) ** 2
+    assert np.all(np.isfinite(R)) and R.max() > 1e-3

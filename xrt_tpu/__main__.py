@@ -40,10 +40,36 @@ def main(argv=None):
                            '(reflectivity)')
     calc.add_argument('--dtheta', default='-50:150:200',
                       help="rocking offset urad: 'min:max:n'")
+    # bent-crystal (Takagi-Taupin) options — the capability of the
+    # reference's xrtBentXtal GUI calculator (gui/xrtBentXtal.py:3-27)
+    calc.add_argument('--R', type=float, default=None,
+                      help='meridional bending radius mm (rocking): '
+                           'switches to the Takagi-Taupin solver')
+    calc.add_argument('--Rs', type=float, default=None,
+                      help='sagittal bending radius mm (rocking)')
+    calc.add_argument('--tc', type=float, default=None,
+                      help='crystal thickness mm (rocking)')
+    calc.add_argument('--asym', type=float, default=0.0,
+                      help='asymmetry angle deg (rocking)')
+    calc.add_argument('--geom', default='Bragg reflected',
+                      choices=('Bragg reflected', 'Bragg transmitted',
+                               'Laue reflected', 'Laue transmitted'))
+    calc.add_argument('--nu', type=float, default=None,
+                      help='isotropic Poisson ratio (default: anisotropic '
+                           'elastic constants by crystal name)')
 
-    for c in ('trace', 'info', 'serve', 'bob'):
+    for c in ('trace', 'info', 'serve', 'bob', 'codegen', 'glow'):
         s = sub.add_parser(c)
         s.add_argument('beamline', help='beamline JSON file')
+        if c == 'codegen':
+            s.add_argument('-o', '--out', default=None,
+                           help='output script file (default: stdout); '
+                                "the analog of xrtQook's script generation")
+            s.add_argument('--repeats', type=int, default=3)
+        if c == 'glow':
+            s.add_argument('--save', default='glow.html',
+                           help='standalone 3D HTML view (or .png)')
+            s.add_argument('--max-rays', type=int, default=200)
         if c == 'bob':
             s.add_argument('--out', default='bob',
                            help='output directory for Phoebus screens')
@@ -71,6 +97,17 @@ def main(argv=None):
     if args.cmd == 'calc':
         return _calc(args)
 
+    if args.cmd == 'codegen':
+        from .codegen import generate_script
+        text = generate_script(args.beamline, repeats=args.repeats)
+        if args.out:
+            with open(args.out, 'w') as f:
+                f.write(text)
+            print(f'wrote {args.out}')
+        else:
+            print(text)
+        return 0
+
     if getattr(args, 'multihost', False):
         # must run before anything initializes the XLA backend (element
         # creation below already dispatches jax computations)
@@ -91,6 +128,11 @@ def main(argv=None):
         for name, kind, method, _ in bl.flow:
             el = bl[name]
             print(f'{name:>16}  {type(el).__name__:<24} .{method}()')
+        return 0
+
+    if args.cmd == 'glow':
+        fn = bl.glow(save=args.save, maxRays=args.max_rays)
+        print(f'wrote {fn if fn else args.save}')
         return 0
 
     if args.cmd == 'bob':
@@ -213,25 +255,43 @@ def _calc(args):
     Ej = jnp.asarray(E)
     if args.what == 'rocking':
         hkl = tuple(int(c) for c in args.hkl)
-        cr = xm.CrystalSi.create(hkl=hkl) if args.material == 'Si' else \
-            xm.CrystalFromCell.create(hkl=hkl, name=args.material)
+        kw = dict(hkl=hkl, geom=args.geom)
+        if args.tc is not None:
+            kw['t'] = args.tc
+        if args.nu is not None:
+            kw['nu'] = args.nu
+        cr = xm.CrystalSi.create(**kw) if args.material == 'Si' else \
+            xm.CrystalFromCell.create(name=args.material, **kw)
         E0 = float(E[0])
         thetaB = float(cr.get_Bragg_angle(E0))
         dth = _parse_range(args.dtheta, 1e-6)
         th = thetaB + dth
+        alpha = math.radians(args.asym)
+        bent = args.R is not None or args.Rs is not None
 
         @jax.jit
         def rock(th):
-            g0 = -jnp.sin(th)
-            gh = jnp.sin(th)
+            # asymmetric cut: surface tilted by alpha from the reflecting
+            # planes (cf. reference test_asymmetric_xtal.py geometry)
+            g0 = -jnp.sin(th + alpha)
+            gh = jnp.sin(th - alpha) if not cr.geom.startswith('L') else \
+                -jnp.sin(th - alpha)
             hns0 = -jnp.sin(th)
-            rs, rp = cr.get_amplitude(jnp.full(th.shape, E0), g0, gh,
-                                      hns0)[0:2]
+            E_ = jnp.full(th.shape, E0)
+            if bent:
+                rs, rp = cr.get_amplitude_TT(
+                    E_, g0, gh, hns0, alphaAsym=alpha,
+                    Ry=args.R if args.R is not None else float('inf'),
+                    Rx=args.Rs if args.Rs is not None else
+                    float('inf'))[0:2]
+            else:
+                rs, rp = cr.get_amplitude(E_, g0, gh, hns0)[0:2]
             return jnp.abs(rs) ** 2, jnp.abs(rp) ** 2
         Rs, Rp = rock(jnp.asarray(th))
+        tag = (f', TT bent Ry={args.R} mm Rs={args.Rs} mm' if bent else '')
         print('# dtheta(urad), |rs|^2, |rp|^2   '
-              f'[{args.material}{args.hkl} at E={E0} eV, '
-              f'thetaB={math.degrees(thetaB):.4f} deg]')
+              f'[{args.material}{args.hkl} {args.geom} at E={E0} eV, '
+              f'thetaB={math.degrees(thetaB):.4f} deg{tag}]')
         for a, b, c in zip(dth * 1e6, np.asarray(Rs), np.asarray(Rp)):
             print(f'{a:.6g}, {b:.6g}, {c:.6g}')
         return 0

@@ -295,6 +295,66 @@ def _laue_rhs(state, zfrac, strain0, cz0t, cbt, cht, g0t):
     return dxi, dd0
 
 
+# Lawson (integrating-factor) RK4: the TT Riccati's linear term
+# i*c0s(z)*xi is stiff for thick bent crystals — |c0s| grows as
+# strain*t^2 (the cz0t term), and once dz*|c0s| exceeds RK4's imaginary
+# stability bound (~2.83) a plain RK4 explodes within a few steps (NaN
+# for e.g. Si111 t=0.3 mm, Rm=2 m at any nsteps<~6000).  The reference
+# sidesteps this with per-ray ADAPTIVE solvers (pyTTE solve_ivp;
+# materials.cl Dormand-Prince), which a lock-step TPU kernel cannot do.
+# Instead we absorb the linear phase exactly per step:
+#     xi = eta * e^{i Psi(tau)},  Psi(tau) = c0s(z_n) tau + cz0t tau^2/2
+# (exact local integral of c0s), leaving eta' = i*(cbt eta^2 e^{i Psi}
+# + cht e^{-i Psi}) — no linear term, hence no stiffness; RK4 handles
+# the bounded driving terms at any dz.  Under-resolved fast-phase
+# regions (far off the local Bragg condition) contribute their true,
+# tiny, phase-averaged amount instead of blowing up.
+
+def _bragg_lawson_step(xi, zf, dz, strain0, cz0t, cbt, cht):
+    """One Lawson-RK4 step of the Bragg Riccati from zfrac=zf to zf+dz."""
+    c0s = strain0 + cz0t * zf
+    psi_h = c0s * (0.5 * dz) + cz0t * (0.125 * dz * dz)
+    psi_f = c0s * dz + cz0t * (0.5 * dz * dz)
+    eh = jnp.exp(1j * psi_h)
+    ef = jnp.exp(1j * psi_f)
+
+    def g(eta, e):
+        return 1j * (cbt * eta * eta * e + cht / e)
+
+    k1 = g(xi, jnp.ones_like(ef))
+    k2 = g(xi + 0.5 * dz * k1, eh)
+    k3 = g(xi + 0.5 * dz * k2, eh)
+    k4 = g(xi + dz * k3, ef)
+    return (xi + dz / 6 * (k1 + 2 * k2 + 2 * k3 + k4)) * ef
+
+
+def _laue_lawson_step(xi, d0, zf, dz, strain0, cz0t, cbt, cht, g0t):
+    """One Lawson-RK4 step of the coupled Laue system from zf to zf-dz
+    (downward).  The amplitude-transport d0' = -i(g0t + cbt*xi)*d0 is
+    non-stiff (|g0t*dz| << 1) and stays in plain RK4 form, with xi
+    reconstructed from eta at each stage."""
+    c0s = strain0 + cz0t * zf
+    # Psi(tau) at tau = -dz/2 and -dz
+    psi_h = c0s * (-0.5 * dz) + cz0t * (0.125 * dz * dz)
+    psi_f = c0s * (-dz) + cz0t * (0.5 * dz * dz)
+    eh = jnp.exp(1j * psi_h)
+    ef = jnp.exp(1j * psi_f)
+
+    def g(eta, d, e):
+        xi_l = eta * e
+        deta = 1j * (cbt * eta * eta * e + cht / e)
+        dd = -1j * (g0t + cbt * xi_l) * d
+        return deta, dd
+
+    k1 = g(xi, d0, jnp.ones_like(ef))
+    k2 = g(xi - 0.5 * dz * k1[0], d0 - 0.5 * dz * k1[1], eh)
+    k3 = g(xi - 0.5 * dz * k2[0], d0 - 0.5 * dz * k2[1], eh)
+    k4 = g(xi - dz * k3[0], d0 - dz * k3[1], ef)
+    eta = xi - dz / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+    d0 = d0 - dz / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+    return eta * ef, d0
+
+
 def tt_amplitudes(E, beamInDotNormal, beamOutDotNormal, beamInDotHNormal,
                   crystal, c1, c2, invR1, alphaAsym=None, nsteps=4000,
                   autoLimits=True, limExtendFactor=None):
@@ -374,16 +434,8 @@ def tt_amplitudes(E, beamInDotNormal, beamOutDotNormal, beamInDotHNormal,
         def step(state, i):
             zf = -i * dz
             xi, d0 = state
-            k1 = _laue_rhs((xi, d0), zf, strain0t, cz0t, cbt, cht, g0t)
-            k2 = _laue_rhs((xi - 0.5*dz*k1[0], d0 - 0.5*dz*k1[1]),
-                           zf - 0.5*dz, strain0t, cz0t, cbt, cht, g0t)
-            k3 = _laue_rhs((xi - 0.5*dz*k2[0], d0 - 0.5*dz*k2[1]),
-                           zf - 0.5*dz, strain0t, cz0t, cbt, cht, g0t)
-            k4 = _laue_rhs((xi - dz*k3[0], d0 - dz*k3[1]),
-                           zf - dz, strain0t, cz0t, cbt, cht, g0t)
-            xi = xi - dz/6 * (k1[0] + 2*k2[0] + 2*k3[0] + k4[0])
-            d0 = d0 - dz/6 * (k1[1] + 2*k2[1] + 2*k3[1] + k4[1])
-            return (xi, d0), None
+            return _laue_lawson_step(xi, d0, zf, dz, strain0t, cz0t,
+                                     cbt, cht, g0t), None
 
         init = (jnp.zeros_like(cbt), jnp.ones_like(cbt))
         (xi, d0), _ = jax.lax.scan(step, init, jnp.arange(nsteps))
@@ -392,13 +444,8 @@ def tt_amplitudes(E, beamInDotNormal, beamOutDotNormal, beamInDotHNormal,
         # Bragg reflected: z from -t to 0; zfrac from -1 to 0
         def step(xi, i):
             zf = -1.0 + i * dz
-            k1 = _bragg_rhs(xi, zf, strain0t, cz0t, cbt, cht)
-            k2 = _bragg_rhs(xi + 0.5*dz*k1, zf + 0.5*dz, strain0t, cz0t,
-                            cbt, cht)
-            k3 = _bragg_rhs(xi + 0.5*dz*k2, zf + 0.5*dz, strain0t, cz0t,
-                            cbt, cht)
-            k4 = _bragg_rhs(xi + dz*k3, zf + dz, strain0t, cz0t, cbt, cht)
-            return xi + dz/6 * (k1 + 2*k2 + 2*k3 + k4), None
+            return _bragg_lawson_step(xi, zf, dz, strain0t, cz0t,
+                                      cbt, cht), None
 
         xi, _ = jax.lax.scan(step, jnp.zeros_like(cbt), jnp.arange(nsteps))
         amp = xi
