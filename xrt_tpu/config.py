@@ -64,6 +64,20 @@ def czeros(shape, dtype=None):
     return _czeros_fn(tuple(shape), jnp.dtype(dtype).name)()
 
 
+def cfull(shape, value, dtype=None):
+    """Complex ``full`` materialized device-side (see :func:`czeros`):
+    an eager ``jnp.full(shape, 0.5j, complex64)`` would enqueue a complex
+    host->device transfer that some TPU transports don't implement; two
+    real fills + ``lax.complex`` stay on the device."""
+    dtype = dtype or cdtype()
+    value = complex(value)
+    if jax.default_backend() == 'cpu':
+        return jnp.full(shape, value, dtype)
+    rdt = jnp.finfo(dtype).dtype
+    return jax.lax.complex(jnp.full(shape, value.real, rdt),
+                           jnp.full(shape, value.imag, rdt))
+
+
 def auto_units_angle(angle, defaultFactor=1.0):
     """Parse angle values given as strings with units — '0.2 deg',
     '4 mrad', '250 urad', '10 nrad', '0.004 rad' — into radians

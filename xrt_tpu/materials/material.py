@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Tuple, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -97,7 +98,10 @@ class Material:
         if refractiveIndexFile is not None:
             E_tab, n_tab = cls.read_ri_file(refractiveIndexFile)
             riE = jnp.asarray(E_tab, dt)
-            riN = jnp.asarray(n_tab, config.cdtype())
+            # complex table via lax.complex of two real transfers (eager
+            # complex host->device is unimplemented on some transports)
+            riN = jax.lax.complex(jnp.asarray(n_tab.real, dt),
+                                  jnp.asarray(n_tab.imag, dt))
         eff_orders = ()
         eff_I = eff_E = None
         if efficiency is not None:
@@ -158,10 +162,13 @@ class Material:
             E = jnp.asarray(E)
             nr = jnp.interp(E, self.riE, self.riN.real)
             ni = jnp.interp(E, self.riE, self.riN.imag)
-            return nr + 1j * ni
+            # no "nr + 1j*ni": an eager complex scalar constant is a
+            # doomed host->device transfer on some TPU transports
+            return jax.lax.complex(nr, ni)
         E = jnp.asarray(E)
-        xf = jnp.zeros(E.shape, jnp.result_type(jnp.asarray(1j),
-                                                E.dtype))
+        from .. import config
+        xf = config.czeros(E.shape, jnp.result_type(jnp.complex64,
+                                                    E.dtype))
         for elem, xi in zip(self.elements,
                             [self.quantities[i]
                              for i in range(len(self.elements))]):
@@ -184,23 +191,28 @@ class Material:
             one = jnp.ones_like(jnp.asarray(E))
             return one, one, jnp.zeros_like(one), jnp.zeros_like(one)
         n = self.get_refractive_index(E)
+        # complex "1" built on device (see get_refractive_index note)
+        one_c = jax.lax.complex(jnp.ones_like(n.real),
+                                jnp.zeros_like(n.real))
         if fromVacuum:
-            n1 = jnp.ones_like(n)
+            n1 = one_c
             n2 = n
         else:
             n1 = n
-            n2 = jnp.ones_like(n)
+            n2 = one_c
         cosAlpha = jnp.abs(beamInDotNormal)
         sinAlpha2 = jnp.clip(1 - beamInDotNormal ** 2, 0.0, None)
         n1cosAlpha = n1 * cosAlpha
-        cosBeta = jnp.sqrt((1 + 0j) - (n1 / n2) ** 2 * sinAlpha2)
+        q = (n1 / n2) ** 2 * sinAlpha2
+        cosBeta = jnp.sqrt(jax.lax.complex(1 - q.real, -q.imag))
         n2cosBeta = n2 * cosBeta
         if kind in _MIRROR_KINDS:
             rs = (n1cosAlpha - n2cosBeta) / (n1cosAlpha + n2cosBeta)
             rp = (n2 * cosAlpha - n1 * cosBeta) / \
                  (n2 * cosAlpha + n1 * cosBeta)
             if kind == 'thin mirror':
-                p2 = jnp.exp(2j * E / CHBAR * n2cosBeta * self.t * 1e7)
+                arg = 2 * E / CHBAR * n2cosBeta * self.t * 1e7
+                p2 = jnp.exp(jax.lax.complex(-arg.imag, arg.real))
                 rs = rs * (1 - p2) / (1 - rs ** 2 * p2)
                 rp = rp * (1 - p2) / (1 - rp ** 2 * p2)
         elif kind in _TRANSMIT_KINDS:
@@ -226,7 +238,8 @@ class EmptyMaterial:
         return default if self.kind == 'auto' else self.kind
 
     def get_refractive_index(self, E):
-        return jnp.ones_like(jnp.asarray(E)) * (1 + 0j)
+        one = jnp.ones_like(jnp.asarray(E))
+        return jax.lax.complex(one, jnp.zeros_like(one))
 
     def get_absorption_coefficient(self, E):
         return jnp.zeros_like(jnp.asarray(E))

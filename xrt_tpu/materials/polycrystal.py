@@ -75,8 +75,9 @@ class _PolyCrystalMethods:
         E = jnp.asarray(E)[:, None]                    # (N,1)
         stol = 0.5 / d_chunk[None, :]                  # (1,r)
         cdt = jnp.result_type(E.dtype, jnp.complex64)
-        F0 = jnp.zeros(E.shape, cdt)
-        Fhkl = jnp.zeros((E.shape[0], d_chunk.shape[0]), cdt)
+        from .. import config as _config
+        F0 = _config.czeros(E.shape, cdt)
+        Fhkl = _config.czeros((E.shape[0], d_chunk.shape[0]), cdt)
         Fhkl_ = jnp.zeros_like(Fhkl)
         cache = {}
         for i, Z in enumerate(self.atoms_Z):

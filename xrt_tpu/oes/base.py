@@ -941,11 +941,16 @@ class _OEMethods:
             Jpp_new = Jpp_new * att
             Jsp_new = Jsp_new * att
             if Es_l is not None:
-                mPh = jnp.sqrt(att) * jnp.exp(0.1j * nreal * tMax)
+                # e^{i arg} via lax.complex(cos, sin): no eager complex
+                # scalar constants (doomed on some TPU transports)
+                arg = 0.1 * nreal * tMax
+                mPh = jnp.sqrt(att) * jax.lax.complex(jnp.cos(arg),
+                                                      jnp.sin(arg))
                 Es_new = Es_new * mPh
                 Ep_new = Ep_new * mPh
         elif Es_l is not None:
-            mPh = jnp.exp(1e7j * lb.E / CHBAR * tMax)
+            arg = 1e7 * lb.E / CHBAR * tMax
+            mPh = jax.lax.complex(jnp.cos(arg), jnp.sin(arg))
             Es_new = Es_new * mPh
             Ep_new = Ep_new * mPh
 

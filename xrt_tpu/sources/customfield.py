@@ -247,7 +247,8 @@ class SourceFromField(_SynchrotronBase):
             return (Bs_acc + Bs, Bp_acc + Bp), None
 
         cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
-        init = (jnp.zeros(w.shape, cdt), jnp.zeros(w.shape, cdt))
+        from .. import config as _config
+        init = (_config.czeros(w.shape, cdt), _config.czeros(w.shape, cdt))
         (Is, Ip), _ = jax.lax.scan(body, init, inputs)
 
         ab = 0.5 / PI / (1. - 0.5 * revgamma2 +

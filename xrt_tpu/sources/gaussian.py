@@ -113,15 +113,18 @@ class GaussianBeam:
                         self.energyWeights, dt) if self.distE else wave.E
         Jss0, Jpp0, Jsp0, Es0, Ep0 = polarization_matrix(self.polarization)
         cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
-        Es = jnp.full((n,), 0.0 if Es0 is None else Es0, cdt)
+        # complex constants via config.cfull: eager complex transfers are
+        # unimplemented on some TPU transports (axon tunnel)
+        from .. import config as _config
+        Es = _config.cfull((n,), 0.0 if Es0 is None else Es0, cdt)
         if Ep0 is None and Es0 is not None:
             Ep = (jax.random.uniform(kpol, (n,), dt) *
                   2 ** -0.5).astype(cdt)
         else:
-            Ep = jnp.full((n,), 0.0 if Ep0 is None else Ep0, cdt)
+            Ep = _config.cfull((n,), 0.0 if Ep0 is None else Ep0, cdt)
         Jss = jnp.full((n,), Jss0, dt)
         Jpp = jnp.full((n,), Jpp0, dt)
-        Jsp = jnp.full((n,), Jsp0, cdt)
+        Jsp = _config.cfull((n,), Jsp0, cdt)
 
         if self.vortex is not None:
             l, p = self.vortex

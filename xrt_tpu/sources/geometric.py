@@ -182,16 +182,21 @@ class GeometricSource:
         (kx, ky, kz, kxp, kzp, kE, kpol) = jax.random.split(key, 7)
 
         Jss0, Jpp0, Jsp0, Es0, Ep0 = polarization_matrix(self.polarization)
+        # complex fills go through config.cfull: an eager complex
+        # jnp.full is a doomed host->device transfer on some TPU
+        # transports (axon tunnel)
+        from .. import config as _config
         Jss = jnp.full((nrays,), Jss0, dt)
         Jpp = jnp.full((nrays,), Jpp0, dt)
-        Jsp = jnp.full((nrays,), Jsp0, cdt)
+        Jsp = _config.cfull((nrays,), Jsp0, cdt)
         if withAmplitudes:
-            Es = jnp.full((nrays,), 0.0 if Es0 is None else Es0, cdt)
+            Es = _config.cfull((nrays,), 0.0 if Es0 is None else Es0, cdt)
             if Ep0 is None and Es0 is not None:  # unpolarized: random Ep
                 Ep = (jax.random.uniform(kpol, (nrays,), dt) *
                       2 ** -0.5).astype(cdt)
             else:
-                Ep = jnp.full((nrays,), 0.0 if Ep0 is None else Ep0, cdt)
+                Ep = _config.cfull((nrays,), 0.0 if Ep0 is None else Ep0,
+                                   cdt)
         else:
             Es = Ep = None
 

@@ -362,7 +362,8 @@ class _SynchrotronBase:
         Jss = jnp.where(sSP > 0, intensS / safe, 0.0)
         Jpp = jnp.where(sSP > 0, intensP / safe, 0.0)
         if getattr(self, 'isMPW', False):
-            Jsp = jnp.zeros((nrays,), cdt)
+            from .. import config as _config
+            Jsp = _config.czeros((nrays,), cdt)
         else:
             Jsp = jnp.where(sSP > 0, mJss * jnp.conj(mJpp) / safe,
                             0.0).astype(cdt)

@@ -397,7 +397,7 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
                   path=jnp.zeros((nsamples,), dt),
                   Jss=jnp.ones((nsamples,), dt),
                   Jpp=jnp.zeros((nsamples,), dt),
-                  Jsp=jnp.zeros((nsamples,), config.cdtype()))
+                  Jsp=config.czeros((nsamples,), config.cdtype()))
         lb = lb.with_amplitudes()
         glo_pts = oe.local_to_global(lb)
         if hasattr(prevOE, 'rotationSequence'):
