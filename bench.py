@@ -126,17 +126,20 @@ def bench_kirchhoff():
     # one k for all samples), so the kernel's monochromatic mode is the
     # same-workload configuration; the polychromatic rate is reported as
     # an extra key
-    def wrapped(mono, xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
+    def wrapped(mono, acc, xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
         zero = jnp.zeros_like(esr)
         out = kirchhoff_integral_pallas(
             xd, yd, zd, xs, ys, zs, esr + 1j * esi, zero + 0j, k,
-            [zero, n1, zero], nl, w, monochromatic=mono)
+            [zero, n1, zero], nl, w, monochromatic=mono, accumulate=acc)
         # scalar digest of all five accumulators
         return sum(jnp.sum(o.real) + jnp.sum(o.imag) for o in out)
 
     import functools
-    fn = jax.jit(functools.partial(wrapped, True))
-    fn_poly = jax.jit(functools.partial(wrapped, False))
+    fn = jax.jit(functools.partial(wrapped, True, 'mxu'))
+    fn_poly = jax.jit(functools.partial(wrapped, False, 'mxu'))
+    fn_fast = jax.jit(functools.partial(wrapped, True, 'mxu-fast'))
+    # the production default ('mxu' accumulation, f32-class fields) is the
+    # headline; the single-pass bf16 variant ships as an extra key
     args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),
             t(rng.uniform(-1, 1, Nd)),
             t(rng.uniform(-50, 50, Ns)), t(rng.uniform(-1, 1, Ns)),
@@ -157,13 +160,14 @@ def bench_kirchhoff():
         float(np.asarray(s))
         return Ns * Nd / ((time.time() - t0) / nrep)
 
-    return measure(fn), measure(fn_poly)
+    return measure(fn), measure(fn_poly), measure(fn_fast)
 
 
 def main():
     rays_per_s = bench_trace()
     und_shine_s = bench_undulator()
-    kirchhoff_pairs_s, kirchhoff_poly_pairs_s = bench_kirchhoff()
+    (kirchhoff_pairs_s, kirchhoff_poly_pairs_s,
+     kirchhoff_fast_pairs_s) = bench_kirchhoff()
     und_ratio = REFERENCE_UND_SHINE_S / und_shine_s
     kir_ratio = kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S
     # headline = the WEAKEST GPU-relative ratio across the reference speed
@@ -179,6 +183,8 @@ def main():
         'kirchhoff_vs_A100_GPU_f64': round(kir_ratio, 3),
         'kirchhoff_polychromatic_pairs_per_s': round(
             kirchhoff_poly_pairs_s, 1),
+        'kirchhoff_bf16_accum_pairs_per_s': round(
+            kirchhoff_fast_pairs_s, 1),
         'undulator_shine_1e5rays_s': round(und_shine_s, 3),
         'undulator_vs_W9100_GPU': round(und_ratio, 3),
         'traced_rays_per_s': round(rays_per_s, 1),

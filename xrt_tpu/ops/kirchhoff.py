@@ -288,12 +288,12 @@ _DELTA_C2 = 0.0625
 _DELTA_C3 = 0.0390625
 
 
-def _recentred_pair(d, s, params, monochromatic):
-    """Per-pair Kirchhoff factors for broadcast-compatible dst/src dicts.
+def _recentred_core(d, s, params, monochromatic):
+    """Per-pair propagator for broadcast-compatible dst/src dicts.
 
-    Returns (U_r, U_i, g_r, g_i, ax, ay, az): the complex Kirchhoff
-    propagator U (split), the gradient-integral weight g = k^2/(4 pi) /r *
-    (Es+Ep)*U (split) and the un-normalized direction numerators."""
+    Returns (U_r, U_i, rinv, tx, ty, tz, lw): the complex Kirchhoff
+    propagator U (split), the reciprocal pair distance and the recentred
+    geometry offsets consumed by the two accumulation schemes."""
     tx = d['tdx'] - s['tsx']
     ty = d['tdy'] - s['tsy']
     tz = d['tdz'] - s['tsz']
@@ -321,14 +321,25 @@ def _recentred_pair(d, s, params, monochromatic):
     sph, cph = dd.sincos_cycles(c)
 
     lw = d['pdh'] - s['lvh']
-    ax = params['Cx'] + tx + lw * params['Lx']
-    ay = params['Cy'] + ty + lw * params['Ly']
-    az = params['Cz'] + tz + lw * params['Lz']
     num = s['Cns'] + tx * s['n0'] + ty * s['n1'] + tz * s['n2'] + \
         lw * s['Lns']
     pre = (s['kwnl'] + num * rinv * s['kw']) * rinv
     U_r = -pre * sph
     U_i = pre * cph
+    return U_r, U_i, rinv, tx, ty, tz, lw
+
+
+def _recentred_pair(d, s, params, monochromatic):
+    """Per-pair Kirchhoff factors for broadcast-compatible dst/src dicts.
+
+    Returns (U_r, U_i, g_r, g_i, ax, ay, az): the complex Kirchhoff
+    propagator U (split), the gradient-integral weight g = k^2/(4 pi) /r *
+    (Es+Ep)*U (split) and the un-normalized direction numerators."""
+    U_r, U_i, rinv, tx, ty, tz, lw = _recentred_core(
+        d, s, params, monochromatic)
+    ax = params['Cx'] + tx + lw * params['Lx']
+    ay = params['Cy'] + ty + lw * params['Ly']
+    az = params['Cz'] + tz + lw * params['Lz']
     f = s['k2'] * rinv
     g_r = f * (s['ser'] * U_r - s['sei'] * U_i)
     g_i = f * (s['ser'] * U_i + s['sei'] * U_r)
@@ -431,11 +442,23 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
 
 def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                                 weights, dst_tile, src_chunk, sublanes,
-                                monochromatic):
+                                monochromatic, accumulate='mxu'):
     """The recentred-phase Pallas kernel (see module notes above): per-pair
     work is plain f32 on small transverse offsets; all dd precision lives
     in O(N) per-point precomputations.  ~2x the throughput of the dd-phase
-    kernel at better typical accuracy."""
+    kernel at better typical accuracy.
+
+    *accumulate*:
+      'mxu' (default) — the ten reduction sums run as four small matmuls
+        on the MXU (bf16 inputs, f32 accumulation).  All ten accumulators
+        are linear in the per-src weights once the recentred geometry
+        ax = Dx(dst) - sigma_x(src) is split, so the per-pair VPU work
+        shrinks to the propagator itself and the systolic array absorbs
+        the contraction.  bf16 rounding of the per-pair propagator is an
+        unbiased ~2^-8 relative perturbation per term that random-walks
+        down as 1/sqrt(Nsrc) in the accumulated field.
+      'vpu' — plain f32 multiply-accumulate on the vector unit (the
+        reference scheme; keeps every product in f32)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -464,7 +487,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             for kk in skeys]
     pvec = jnp.stack([jnp.asarray(params[kk], f32) for kk in pkeys])[None]
 
-    def kernel(pref, *refs):
+    def kernel_vpu(pref, *refs):
         drefs = refs[:len(dkeys)]
         srefs = refs[len(dkeys):len(dkeys) + len(skeys)]
         outs = refs[len(dkeys) + len(skeys):]
@@ -483,6 +506,127 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             acc = jax.lax.fori_loop(0, nsrc_chunks, body, init)
             for ref, val in zip(outs, acc):
                 ref[srow, :] = val
+
+    def kernel_mxu(pref, *refs):
+        drefs = refs[:len(dkeys)]
+        srefs = refs[len(dkeys):len(dkeys) + len(skeys)]
+        outs = refs[len(dkeys) + len(skeys):]
+        pdict = {kk: pref[0, i] for i, kk in enumerate(pkeys)}
+        bf16 = jnp.bfloat16
+        dn = (((1,), (1,)), ((), ()))   # contract the src dimension
+
+        def rows(vs):
+            return jnp.concatenate([v.reshape(1, -1) for v in vs], axis=0)
+
+        def split(v):
+            hi = v.astype(bf16)
+            return hi, (v - hi.astype(f32)).astype(bf16)
+
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, dn,
+                                       preferred_element_type=f32)
+
+        for srow in range(sublanes):
+            dcol = {kk: r[srow, :].reshape(-1, 1)
+                    for kk, r in zip(dkeys, drefs)}
+
+            def stage(j):
+                """Chunk j's per-pair propagator + contraction operands.
+
+                The (P, Q) pair contracts against the four field
+                components; (R, S) against k^2-weighted sums and their
+                sigma = ts + (L.v) L shifted copies (see post-combine).
+                In 'mxu' mode, P/Q (the accumulated FIELD) run as
+                two-pass bf16 splits (hi*hi + hi*lo + lo*hi ~= f32
+                products, 2^-16 per term); R/S feed only the direction
+                extraction, whose signal is each accumulator's own
+                magnitude — single-pass bf16's ~2^-9/sqrt(N) noise is
+                microradians there."""
+                s1 = {kk: r[j, :] for kk, r in zip(skeys, srefs)}
+                srow_d = {kk: v.reshape(1, -1) for kk, v in s1.items()}
+                U_r, U_i, rinv, _, _, _, _ = _recentred_core(
+                    dcol, srow_d, pdict, monochromatic)
+                wpq = rows([s1['esr'], s1['esi'], s1['epr'], s1['epi']])
+                a1 = s1['k2'] * s1['ser']
+                a2 = s1['k2'] * s1['sei']
+                sx = s1['tsx'] + s1['lvh'] * pdict['Lx']
+                sy = s1['tsy'] + s1['lvh'] * pdict['Ly']
+                sz = s1['tsz'] + s1['lvh'] * pdict['Lz']
+                wrs = rows([a1, a2, a1 * sx, a1 * sy, a1 * sz,
+                            a2 * sx, a2 * sy, a2 * sz])
+                Rv = rinv * U_r
+                Sv = rinv * U_i
+                if accumulate == 'mxu32':       # native f32 dots
+                    return (U_r, U_i, Rv, Sv, wpq, wrs)
+                if accumulate == 'mxu-fast':    # single-pass bf16
+                    return (U_r.astype(bf16), U_i.astype(bf16),
+                            Rv.astype(bf16), Sv.astype(bf16),
+                            wpq.astype(bf16), wrs.astype(bf16))
+                Ph, Pl = split(U_r)             # 'mxu': two-pass fields
+                Qh, Ql = split(U_i)
+                Wh, Wl = split(wpq)
+                return (Ph, Pl, Qh, Ql, Rv.astype(bf16),
+                        Sv.astype(bf16), Wh, Wl, wrs.astype(bf16))
+
+            def accum(acc, m):
+                accP, accQ, accR, accS = acc
+                if accumulate == 'mxu':
+                    Ph, Pl, Qh, Ql, Rb, Sb, Wh, Wl, wrsb = m
+                    accP = accP + mm(Ph, Wh) + mm(Ph, Wl) + mm(Pl, Wh)
+                    accQ = accQ + mm(Qh, Wh) + mm(Qh, Wl) + mm(Ql, Wh)
+                    accR = accR + mm(Rb, wrsb)
+                    accS = accS + mm(Sb, wrsb)
+                else:
+                    P, Q, R, S, W, wrsm = m
+                    accP = accP + mm(P, W)
+                    accQ = accQ + mm(Q, W)
+                    accR = accR + mm(R, wrsm)
+                    accS = accS + mm(S, wrsm)
+                return accP, accQ, accR, accS
+
+            def body(j, acc):
+                # NB: a software pipeline (delaying chunk j-1's matmuls
+                # into iteration j to overlap MXU and VPU) was measured
+                # 2x SLOWER here — the (128 x src_chunk) operand carry
+                # forces megabyte VMEM copies every iteration
+                return accum(acc, stage(j))
+
+            init_acc = (jnp.zeros((dst_tile, 4), f32),
+                        jnp.zeros((dst_tile, 4), f32),
+                        jnp.zeros((dst_tile, 8), f32),
+                        jnp.zeros((dst_tile, 8), f32))
+            accP, accQ, accR, accS = jax.lax.fori_loop(
+                0, nsrc_chunks, body, init_acc)
+            # post-combine: ax = Dx(dst) - sigma_x(src) with
+            # Dx = Cx + td + (L.u) Lx, so
+            # sum g*ax = Dx*sum(g) - sum(g*sigma_x) column-wise
+            tdx = dcol['tdx'][:, 0]
+            tdy = dcol['tdy'][:, 0]
+            tdz = dcol['tdz'][:, 0]
+            pdh = dcol['pdh'][:, 0]
+            Dx = pdict['Cx'] + tdx + pdh * pdict['Lx']
+            Dy = pdict['Cy'] + tdy + pdh * pdict['Ly']
+            Dz = pdict['Cz'] + tdz + pdh * pdict['Lz']
+            vals = (accP[:, 0] - accQ[:, 1],
+                    accQ[:, 0] + accP[:, 1],
+                    accP[:, 2] - accQ[:, 3],
+                    accQ[:, 2] + accP[:, 3],
+                    Dx * accR[:, 0] - accR[:, 2]
+                    - Dx * accS[:, 1] + accS[:, 5],
+                    Dx * accS[:, 0] - accS[:, 2]
+                    + Dx * accR[:, 1] - accR[:, 5],
+                    Dy * accR[:, 0] - accR[:, 3]
+                    - Dy * accS[:, 1] + accS[:, 6],
+                    Dy * accS[:, 0] - accS[:, 3]
+                    + Dy * accR[:, 1] - accR[:, 6],
+                    Dz * accR[:, 0] - accR[:, 4]
+                    - Dz * accS[:, 1] + accS[:, 7],
+                    Dz * accS[:, 0] - accS[:, 4]
+                    + Dz * accR[:, 1] - accR[:, 7])
+            for ref, val in zip(outs, vals):
+                ref[srow, :] = val
+
+    kernel = kernel_mxu if accumulate.startswith('mxu') else kernel_vpu
 
     grid = (nrows // sublanes,)
     dst_spec = pl.BlockSpec((sublanes, dst_tile), lambda i: (i, 0),
@@ -513,7 +657,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                               weights, dst_tile=128, src_chunk=1024,
                               sublanes=8, phase_mode='recentred',
-                              monochromatic=False):
+                              monochromatic=False, accumulate='mxu'):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
     points per program), fori_loop over source chunks, with
     (dst_tile x src_chunk) 2D vector work per step.
@@ -524,7 +668,10 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         error ~1e-4 rad typical (see module notes for the envelope);
       'fast' — per-pair dd distances via :func:`_phase_dd_fast`
         (~0.03 rad worst);
-      'exact' — fully renormalized dd chain (~0.01 rad worst)."""
+      'exact' — fully renormalized dd chain (~0.01 rad worst).
+    *accumulate* ('recentred' only): 'mxu' (default) contracts the ten
+    accumulators on the systolic array (bf16 terms, f32 sums); 'vpu'
+    keeps the all-f32 vector-unit multiply-accumulate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -539,7 +686,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     if phase_mode == 'recentred':
         return _kirchhoff_pallas_recentred(
             xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights,
-            dst_tile, src_chunk, sublanes, monochromatic)
+            dst_tile, src_chunk, sublanes, monochromatic, accumulate)
 
     Nd = xd[0].shape[0]
     Ns = xs[0].shape[0]

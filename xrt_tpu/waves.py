@@ -540,7 +540,8 @@ def estimate_footprint_area(x, y, good):
 
 
 def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
-             phase_mode='recentred', monochromatic=False) -> Wave:
+             phase_mode='recentred', monochromatic=False,
+             accumulate='mxu') -> Wave:
     """Diffract the surface field *oeLocal* onto the receiving *wave*
     samples (cf. reference diffract, waves.py:606-831).  Pure: returns the
     updated wave (accumulates over repeated calls through the Acc fields).
@@ -553,7 +554,11 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
     ops/kirchhoff.py): 'recentred' (default, fastest and most accurate
     for beamline geometries), 'fast' or 'exact' (per-pair double-float
     distances, robust for arbitrary geometry).  *monochromatic=True*
-    asserts all source samples share one k and saves a few flops."""
+    asserts all source samples share one k and saves a few flops.
+    *accumulate* (Pallas TPU path): 'mxu' (default) contracts the
+    accumulators on the systolic array with f32-class field fidelity;
+    'mxu-fast' single-pass bf16 (~2e-3 incoherent-part error, ~25%
+    faster); 'vpu' all-f32 vector-unit accumulation."""
     oe = wave.fromOE
     good = oeLocal.state == 1
     w = good.astype(wave.xDiffr.dtype)
@@ -611,7 +616,8 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
         if use_kernel:
             kfn = functools.partial(kirchhoff_integral_pallas,
                                     phase_mode=phase_mode,
-                                    monochromatic=monochromatic)
+                                    monochromatic=monochromatic,
+                                    accumulate=accumulate)
         elif phase_mode == 'recentred':
             kfn = functools.partial(kirchhoff_integral_recentred,
                                     monochromatic=monochromatic)
