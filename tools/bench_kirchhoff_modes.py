@@ -1,4 +1,6 @@
 """MXU-accumulation Kirchhoff: accuracy vs the f32 VPU kernel + speed."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools, time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -655,7 +655,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
 
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                              weights, dst_tile=128, src_chunk=1024,
+                              weights, dst_tile=128, src_chunk=2048,
                               sublanes=8, phase_mode='recentred',
                               monochromatic=False, accumulate='mxu'):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
