@@ -55,3 +55,23 @@ def test_customfield_shine():
     assert (E >= 5000).all() and (E <= 6500).all()
     assert np.isfinite(np.asarray(beam.Jss)).all()
     assert float(beam.accepted) > 0
+
+
+def test_customfield_near_field_far_limit(ref):
+    """R0 -> large reproduces the far-field map (same angles): validates
+    the near-field phase expansion and per-node directions (the reference
+    R0 branch, synchr.py:811-846)."""
+    K, L0, Np = 4.4, 53.96, 41
+    zg = np.linspace(-L0 * Np * 0.5, L0 * Np * 0.5, 1000 * Np)
+    fieldData = np.vstack([zg, K2B * K / L0 *
+                           np.sin(2 * np.pi * zg / L0)]).T
+    sff = SourceFromField.create(
+        nrays=100, eE=6.0, eI=0.1, eEpsilonX=0.0, eEpsilonZ=0.0,
+        customField=fieldData, eMin=5000, eMax=6500,
+        xPrimeMax=0.05, zPrimeMax=0.05, gNodes=3000, gIntervals=2,
+        R0=1e7)
+    I_nf = sff.build_I_map(jax.random.PRNGKey(0),
+                           jnp.asarray(ref['sff_E']),
+                           jnp.asarray(ref['sff_theta']),
+                           jnp.asarray(ref['sff_psi']))[0]
+    np.testing.assert_allclose(np.asarray(I_nf), ref['sff_I'], rtol=2e-3)

@@ -56,6 +56,10 @@ class SourceFromField(_SynchrotronBase):
     deviceLength: float = struct.field(pytree_node=False, default=0.0)
     quadm: int = struct.field(pytree_node=False, default=0)
     gIntervals: int = struct.field(pytree_node=False, default=2)
+    # near-field observation distance [mm] (None = far field); cf. the
+    # reference R0 mode of SourceFromField (synchr.py:1302-1318, _sp
+    # R0 branch :811-846) used e.g. for IR edge radiation
+    R0: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, name='', center=(0, 0, 0), nrays=None, eE=6.0, eI=0.1,
@@ -63,7 +67,7 @@ class SourceFromField(_SynchrotronBase):
                betaZ=2.0, eSigmaX=None, eSigmaZ=None, customField=None,
                eMin=5000.0, eMax=15000.0, xPrimeMax=0.5, zPrimeMax=0.5,
                distE='eV', gNodes=2000, gIntervals=None, oversample=2,
-               pitch=0.0, yaw=0.0,
+               pitch=0.0, yaw=0.0, R0=None,
                # periodic test field (customField=None):
                K=4.4, period=53.96, n=41):
         dt = config.dtype()
@@ -157,6 +161,7 @@ class SourceFromField(_SynchrotronBase):
                    betam=jnp.asarray(betam, dt), dstep=float(dstep),
                    deviceLength=float(deviceLength),
                    quadm=int(gNodes), gIntervals=int(gIntervals),
+                   R0=None if R0 is None else float(R0),
                    **{k: jnp.asarray(v, dt) for k, v in arrays.items()})
 
     def get_sigma_r02(self, E):
@@ -195,6 +200,16 @@ class SourceFromField(_SynchrotronBase):
         diry = ddpsi
         dirz = jnp.sqrt(1. - ddtheta ** 2 - ddpsi ** 2)
 
+        nearField = self.R0 is not None
+        if nearField:
+            # observation point per ray (synchr.py:1302-1306); the wc*R0z
+            # carrier phase is per-ray constant at fixed w, computed once
+            R0x = jnp.tan(ddtheta) * self.R0
+            R0y = jnp.tan(ddpsi) * self.R0
+            R0z = jnp.full_like(ddpsi, self.R0)
+            sinr0z = jnp.sin(wc * R0z)
+            cosr0z = jnp.cos(wc * R0z)
+
         nchunks = self.tg.shape[0] // NODE_CHUNK
         rsh = lambda v: v.reshape(nchunks, NODE_CHUNK)
         inputs = tuple(rsh(v) for v in (
@@ -212,12 +227,52 @@ class SourceFromField(_SynchrotronBase):
             trajz_ = tg[None, :] * (1. - 0.5 * revgamma2[:, None]) + \
                 EMC ** 2 * revgamma2[:, None] * tz[None, :]
             wcb = wc[:, None]
-            phz = wcb * (tg[None, :] - dirz[:, None] * trajz_)
-            phxy = wcb * (dirx[:, None] * trajx_ + diry[:, None] * trajy_)
-            sinphz, cosphz = jnp.sin(phz), jnp.cos(phz)
-            sinphxy, cosphxy = jnp.sin(phxy), jnp.cos(phxy)
-            eucos = (sinphz * cosphxy - cosphz * sinphxy) + \
-                1j * (cosphz * cosphxy + sinphz * sinphxy)
+            if nearField:
+                # exact-geometry phase: wc*(tg + |R0 - r(z)| - R0z) with
+                # |dr| - drz expanded stably (LRS, synchr.py:819-833); the
+                # carrier wc*R0z enters via the precomputed sin/cos and the
+                # three pieces combine by angle addition
+                drx = R0x[:, None] - trajx_
+                dry = R0y[:, None] - trajy_
+                drz = R0z[:, None] - trajz_
+                dist = jnp.sqrt(drx ** 2 + dry ** 2 + drz ** 2)
+                rdrz = 1. / drz
+                drs = (drx ** 2 + dry ** 2) * rdrz
+                LRS = 0.5 * drs - 0.125 * drs ** 2 * rdrz + \
+                    0.0625 * drs ** 3 * rdrz ** 2
+                sinzloc = jnp.sin(wcb * (tg[None, :] - trajz_))
+                coszloc = jnp.cos(wcb * (tg[None, :] - trajz_))
+                sindrs = jnp.sin(wcb * LRS)
+                cosdrs = jnp.cos(wcb * LRS)
+                sz = sinr0z[:, None]
+                cz = cosr0z[:, None]
+                eucos = ((-sz * sinzloc * cosdrs - sz * coszloc * sindrs -
+                          cz * sinzloc * sindrs + cz * coszloc * cosdrs) +
+                         1j * (-sz * sinzloc * sindrs +
+                               sz * coszloc * cosdrs +
+                               cz * sinzloc * cosdrs +
+                               cz * coszloc * sindrs))
+                # per-node observation directions
+                rdist = 1. / dist
+                dirx_n = drx * rdist
+                diry_n = dry * rdist
+                # 1 - dirz = (dist - drz)/dist, with dist - drz = LRS
+                A1m = LRS * rdist
+                dirz_n = 1. - A1m
+            else:
+                phz = wcb * (tg[None, :] - dirz[:, None] * trajz_)
+                phxy = wcb * (dirx[:, None] * trajx_ +
+                              diry[:, None] * trajy_)
+                sinphz, cosphz = jnp.sin(phz), jnp.cos(phz)
+                sinphxy, cosphxy = jnp.sin(phxy), jnp.cos(phxy)
+                eucos = (sinphz * cosphxy - cosphz * sinphxy) + \
+                    1j * (cosphz * cosphxy + sinphz * sinphxy)
+                # 1 - dirz = (theta^2+psi^2)/(1+dirz) exactly
+                # (dirz = sqrt(1-theta^2-psi^2))
+                A1m = ((ddtheta ** 2 + ddpsi ** 2) / (1. + dirz))[:, None]
+                dirx_n = dirx[:, None]
+                diry_n = diry[:, None]
+                dirz_n = dirz[:, None]
             smTerm = revgamma2[:, None] + betax_ ** 2 + betay_ ** 2
             # B1m := 1 - betaz kept exactly (float32: forming betaz ~ 1 and
             # subtracting later would cancel the ~1e-8 result to zero)
@@ -226,20 +281,17 @@ class SourceFromField(_SynchrotronBase):
             betaPx = betay_ * Bz[None, :] - betaz * By[None, :]
             betaPy = -betax_ * Bz[None, :] + betaz * Bx[None, :]
             betaPz = betax_ * By[None, :] - betay_ * Bx[None, :]
-            # 1 - dirz = (theta^2+psi^2)/(1+dirz) exactly
-            # (dirz = sqrt(1-theta^2-psi^2))
-            A1m = ((ddtheta ** 2 + ddpsi ** 2) / (1. + dirz))[:, None]
             one_minus_nb = (B1m + betaz * A1m -
-                            dirx[:, None] * betax_ - diry[:, None] * betay_)
+                            dirx_n * betax_ - diry_n * betay_)
             rkrel = 1. / one_minus_nb
             eucos = eucos * ag[None, :] * rkrel ** 2
-            bnx = dirx[:, None] - betax_
-            bny = diry[:, None] - betay_
+            bnx = dirx_n - betax_
+            bny = diry_n - betay_
             bnz = B1m - A1m
-            dirDotBetaP = dirx[:, None] * betaPx + diry[:, None] * betaPy \
-                + dirz[:, None] * betaPz
-            dirDotDmB = dirx[:, None] * bnx + diry[:, None] * bny + \
-                dirz[:, None] * bnz
+            dirDotBetaP = dirx_n * betaPx + diry_n * betaPy \
+                + dirz_n * betaPz
+            dirDotDmB = dirx_n * bnx + diry_n * bny + \
+                dirz_n * bnz
             Bs = jnp.sum(eucos * emcg[:, None] *
                          (bnx * dirDotBetaP - betaPx * dirDotDmB), axis=1)
             Bp = jnp.sum(eucos * emcg[:, None] *
