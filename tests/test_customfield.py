@@ -75,3 +75,27 @@ def test_customfield_near_field_far_limit(ref):
                            jnp.asarray(ref['sff_theta']),
                            jnp.asarray(ref['sff_psi']))[0]
     np.testing.assert_allclose(np.asarray(I_nf), ref['sff_I'], rtol=2e-3)
+
+
+def test_customfield_near_field_golden():
+    """Near-field amplitudes vs the reference's own _sp R0 branch
+    (tools/make_golden_sources.py, ref_customfield_nf.npz)."""
+    g = np.load(os.path.join(GOLDEN, 'ref_customfield_nf.npz'))
+    K, L0, Np = 4.4, 53.96, 41
+    zg = np.linspace(-L0 * Np * 0.5, L0 * Np * 0.5, 1000 * Np)
+    fieldData = np.vstack([zg, K2B * K / L0 *
+                           np.sin(2 * np.pi * zg / L0)]).T
+    sff = SourceFromField.create(
+        nrays=100, eE=6.0, eI=0.1, eEpsilonX=0.0, eEpsilonZ=0.0,
+        customField=fieldData, eMin=5000, eMax=6500,
+        xPrimeMax=0.05, zPrimeMax=0.05, gNodes=3000, gIntervals=2,
+        R0=float(g['R0']))
+    I, Es, Ep = sff.build_I_map(jax.random.PRNGKey(0),
+                                jnp.asarray(g['sff_E']),
+                                jnp.asarray(g['sff_theta']),
+                                jnp.asarray(g['sff_psi']))
+    np.testing.assert_allclose(np.asarray(I), g['sff_I'], rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(Es), g['sff_Es'], rtol=2e-4,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Ep), g['sff_Ep'], rtol=2e-4,
+                               atol=1e-8)

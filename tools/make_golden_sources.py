@@ -139,3 +139,19 @@ dest3 = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
                      'ref_customfield.npz')
 np.savez_compressed(os.path.abspath(dest3), **out3)
 print('wrote', os.path.abspath(dest3))
+
+# ---- SourceFromField near field (R0 set): the reference _sp R0 branch
+# (synchr.py:811-846) — golden for the xrt_tpu near-field mode
+sff.R0 = 5000.0   # mm, beyond the field span (+-1107 mm)
+Isf = []; Essf = []; Epsf = []
+for i in range(8):
+    I, Es_, Ep_ = sff.build_I_map(np.array([Ef[i]]), np.array([thf[i]]),
+                                  np.array([psf[i]]))
+    Isf.append(I[0]); Essf.append(Es_[0]); Epsf.append(Ep_[0])
+out4 = {'sff_E': Ef, 'sff_theta': thf, 'sff_psi': psf,
+        'sff_I': np.array(Isf), 'sff_Es': np.array(Essf),
+        'sff_Ep': np.array(Epsf), 'R0': 5000.0}
+dest4 = os.path.join(os.path.dirname(__file__), '..', 'tests', 'golden',
+                     'ref_customfield_nf.npz')
+np.savez_compressed(os.path.abspath(dest4), **out4)
+print('wrote', os.path.abspath(dest4))
