@@ -1,0 +1,86 @@
+"""Loading the reference xrtQook's own saved projects
+(tests/data/qook/*.xml, copied verbatim from the reference repo)."""
+import math
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from xrt_tpu.qook import load_qook_project
+
+QOOK = os.path.join(os.path.dirname(__file__), 'data', 'qook')
+FILES = ('1crystal.xml', 'toroid_focus.xml', 'testGrating.xml',
+         'lens1.xml')
+
+
+@pytest.mark.parametrize('fn', FILES)
+def test_qook_project_loads_and_traces(fn):
+    prj = load_qook_project(os.path.join(QOOK, fn), nrays=3000)
+    assert len(prj.beamline.flow) >= 3
+    beams = prj.beamline.propagate_flow(jax.random.PRNGKey(0))
+    last = list(beams)[-1]
+    ngood = int((np.asarray(beams[last].state) == 1).sum())
+    assert ngood > 1000, f'{fn}: only {ngood} good rays at {last}'
+
+
+def test_qook_auto_alignment_1crystal():
+    """pitch='auto' resolves to the Si111 Bragg angle at alignE =
+    (eMin + eMax)/2 = 10 keV; the screen's 'auto' z lands on the
+    deflected axis."""
+    prj = load_qook_project(os.path.join(QOOK, '1crystal.xml'),
+                            nrays=2000)
+    bl = prj.beamline
+    crystal = bl['oe01']
+    thetaB = float(crystal.material.get_Bragg_angle(10000.0))
+    assert math.isclose(float(crystal.pitch), thetaB, rel_tol=2e-3)
+    # screen at y=21000, 1000 mm past the crystal at y=20000: the axis
+    # deflected up by 2*pitch puts it at z ~ 1000*tan(2 thetaB)
+    z_expected = 1000.0 * math.tan(2 * float(crystal.pitch))
+    assert abs(float(bl['screen01'].center[2]) - z_expected) < 2.0
+    # the traced beam actually hits that screen center
+    beams = bl.propagate_flow(jax.random.PRNGKey(1))
+    img = beams['screen01']
+    good = np.asarray(img.state) == 1
+    assert abs(np.asarray(img.z)[good].mean()) < 1.0  # local coords
+
+
+def test_qook_plots_and_run_card():
+    prj = load_qook_project(os.path.join(QOOK, '1crystal.xml'),
+                            nrays=2000)
+    assert prj.run_kwargs.get('repeats') == 1
+    assert len(prj.plots) == 1
+    plot = prj.plots[0]
+    assert plot.beam == 'screen01'      # beam name mapped to element
+    assert plot.xaxis.bins == 128
+
+
+def test_qook_grating_density_on_any_oe():
+    """gratingDensity=['y', rho, P0, ...] turns any OE into a (VLS)
+    grating, like the reference (base.py:213-229); the Qook grating
+    project distributes rays over np.linspace(-2, 2, 5) orders."""
+    prj = load_qook_project(os.path.join(QOOK, 'testGrating.xml'),
+                            nrays=4000)
+    beams = prj.beamline.propagate_flow(jax.random.PRNGKey(0))
+    lg = beams['LaminarGrating']
+    good = np.asarray(lg.state) == 1
+    orders = np.unique(np.asarray(lg.order)[good])
+    assert set(orders) == {-2.0, -1.0, 0.0, 1.0, 2.0}
+
+    # equivalence with the dedicated Grating class at fixed order
+    import jax.numpy as jnp
+    from xrt_tpu.oes import OE, Grating
+    import xrt_tpu.materials as xm
+    mat = xm.EmptyMaterial(kind='grating')
+    kw = dict(center=(0, 10000, 0), pitch=5e-2, material=mat, order=1)
+    g1 = OE.create(gratingDensity=['y', 300, 1], **kw)
+    g2 = Grating.create(rho=300.0, **kw)
+    from xrt_tpu.sources import GeometricSource
+    src = GeometricSource.create(nrays=500, distE='lines',
+                                 energies=(90.0,), dxprime=1e-5,
+                                 dzprime=1e-5)
+    beam = src.shine(jax.random.PRNGKey(2))
+    o1, _ = g1.reflect(beam)
+    o2, _ = g2.reflect(beam)
+    np.testing.assert_allclose(np.asarray(o1.c), np.asarray(o2.c),
+                               atol=1e-12)

@@ -58,6 +58,16 @@ def main(argv=None):
                       help='isotropic Poisson ratio (default: anisotropic '
                            'elastic constants by crystal name)')
 
+    # run a reference xrtQook project file directly
+    qk = sub.add_parser(
+        'qook', help="load & run a reference xrtQook project XML "
+                     '(materials, elements, plots and the run card)')
+    qk.add_argument('project', help='Qook project .xml')
+    qk.add_argument('--nrays', type=int, default=None)
+    qk.add_argument('--repeats', type=int, default=None)
+    qk.add_argument('--save', default=None,
+                    help='save the (first) plot to this file')
+
     for c in ('trace', 'info', 'serve', 'bob', 'codegen', 'glow'):
         s = sub.add_parser(c)
         s.add_argument('beamline', help='beamline JSON file')
@@ -96,6 +106,36 @@ def main(argv=None):
 
     if args.cmd == 'calc':
         return _calc(args)
+
+    if args.cmd == 'qook':
+        from .plotting import save_plot
+        from .qook import load_qook_project
+        from .runner import run_ray_tracing
+        prj = load_qook_project(args.project, nrays=args.nrays)
+        for tag, skip in prj.skipped.items():
+            print(f'note: {tag}: ignored reference-only parameters '
+                  f'{sorted(skip)}')
+        run_kwargs = dict(prj.run_kwargs)
+        run_kwargs.pop('updateEvery', None)
+        if args.repeats is not None:
+            run_kwargs['repeats'] = args.repeats
+        plots = prj.plots
+        if not plots:
+            from .plotspec import XYCAxis, XYCPlot
+            last = prj.beamline.flow[-1][0]
+            plots = [XYCPlot(beam=last, xaxis=XYCAxis('x', 'mm'),
+                             yaxis=XYCAxis('z', 'mm'),
+                             caxis=XYCAxis('energy', 'eV'))]
+        run_ray_tracing(plots, beamLine=prj.beamline,
+                        run_process=lambda bl_, key: bl_.propagate_flow(key),
+                        **run_kwargs)
+        for pl in plots:
+            print(f"plot '{pl.beam}': flux={pl.intensity:.5g} "
+                  f'nGood={pl.nRaysGood} dx={pl.dx:.4g} dy={pl.dy:.4g}')
+        if args.save:
+            save_plot(plots[0], args.save)
+            print(f'saved {args.save}')
+        return 0
 
     if args.cmd == 'codegen':
         from .codegen import generate_script

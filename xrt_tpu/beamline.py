@@ -244,6 +244,7 @@ class BeamLine:
         if key is None:
             key = jax.random.PRNGKey(0)
         beams = {}
+        globalBeams = {}
         beam = None
         for i, (name, kind, method, kwargs) in enumerate(self.flow):
             if i < startFrom and beam is not None:
@@ -251,6 +252,13 @@ class BeamLine:
             el = self._elements[name]
             key, sub = jax.random.split(key)
             fn = getattr(el, method)
+            kwargs = dict(kwargs)
+            # non-linear flows (e.g. Qook projects with several branches
+            # off one source): '_input' names the upstream element whose
+            # GLOBAL beam feeds this step
+            inputName = kwargs.pop('_input', None)
+            if inputName is not None and inputName in globalBeams:
+                beam = globalBeams[inputName]
             if kind == 'source':
                 beam = fn(sub, **kwargs)
                 beams[name] = beam
@@ -272,6 +280,7 @@ class BeamLine:
             else:
                 beam = fn(beam, **kwargs)
                 beams[name] = beam
+            globalBeams[name] = beam
         return beams
 
     def glow(self, beams=None, save='glow.html', maxRays=200):

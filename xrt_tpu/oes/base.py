@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -191,8 +192,36 @@ class _OEMethods:
         return [zero, zero, one]
 
     def local_g(self, x, y):
-        """Local groove/zone vector for gratings/FZPs, 1/mm."""
-        raise NotImplementedError
+        """Local groove/zone vector for gratings/FZPs, 1/mm.
+
+        Any OE with *gratingDensity* = [axis, rho0, P0, P1, ...] becomes
+        a (possibly VLS) grating on its own surface, like the reference
+        (base.py:213-229): rho(t) = rho0*(P0 + 2 P1 t + 3 P2 t^2 + ...)
+        along the given axis."""
+        gd = getattr(self, 'gratingDensity', None)
+        if gd is None:
+            raise NotImplementedError
+        t = x if self.grooveAxis == 'x' else y
+        rho = gd[1] * jnp.ones_like(t)
+        if gd.shape[0] > 2:
+            poly = gd[2] * jnp.ones_like(t)
+            for i in range(3, gd.shape[0]):
+                poly = poly + (i - 1) * gd[i] * t ** (i - 2)
+            rho = rho * poly
+        zero = jnp.zeros_like(t)
+        if self.grooveAxis == 'x':
+            return [-rho, zero, zero]
+        return [zero, -rho, zero]
+
+    def _export_params(self):
+        """JSON-layout hook: re-encode gratingDensity in the reference's
+        [axis, rho0, P0, ...] input form."""
+        gd = getattr(self, 'gratingDensity', None)
+        if gd is None:
+            return (), {}
+        vals = [float(v) for v in np.asarray(gd)[1:]]
+        return (('gratingDensity',),
+                {'gratingDensity': [self.grooveAxis] + vals})
 
     # ---- parametric interface (isParametric = True subclasses) ----------
     def local_r(self, s, phi):
@@ -1043,6 +1072,9 @@ class OE(_OEMethods):
     limOptX: Optional[jnp.ndarray] = None
     limOptY: Optional[jnp.ndarray] = None
     alpha: Optional[jnp.ndarray] = None
+    # [axis-flag unused slot, rho0, P0, P1, ...] -- see local_g; the axis
+    # char lives in grooveAxis (non-pytree)
+    gratingDensity: Optional[jnp.ndarray] = None
     material: Any = None
     figure_error: Any = None
     name: str = struct.field(pytree_node=False, default='')
@@ -1054,6 +1086,7 @@ class OE(_OEMethods):
     curSurface: int = struct.field(pytree_node=False, default=0)
     auto_material_kind: str = struct.field(pytree_node=False,
                                            default='mirror')
+    grooveAxis: str = struct.field(pytree_node=False, default='y')
     overEdge: str = struct.field(pytree_node=False, default='ymax')
     # user-facing creation args for classes whose fields are derived from
     # them (parametric conics): a tuple of (name, value) pairs consumed by
@@ -1067,7 +1100,8 @@ class OE(_OEMethods):
                limPhysY=(-math.inf, math.inf), limOptX=None, limOptY=None,
                alpha=None, material=None, figure_error=None, shape='rect',
                rotationSequence='RzRyRx', extraRotationSequence='RzRyRx',
-               order=1, curSurface=0, overEdge='ymax', **kwargs):
+               order=1, curSurface=0, overEdge='ymax',
+               gratingDensity=None, **kwargs):
         dt = config.dtype()
         # accept unit strings like '0.2deg' / '4 mrad'
         # (reference auto_units_angle, _flow_utils.py:74)
@@ -1080,6 +1114,18 @@ class OE(_OEMethods):
 
         def arr(v):
             return None if v is None else jnp.asarray(v, dt)
+        if order is not None and not isinstance(order, (int, float, str)):
+            # several diffraction orders (e.g. np.linspace(-2, 2, 5)):
+            # rays are distributed randomly among them like the reference
+            order = tuple(float(o) for o in np.ravel(order))
+            if len(order) == 1:
+                order = order[0]
+        if gratingDensity is not None:
+            # reference format [axis, rho0, P0, P1, ...] (base.py:213)
+            kwargs['grooveAxis'] = str(gratingDensity[0])
+            kwargs['gratingDensity'] = jnp.asarray(
+                [0.0] + [float(v) for v in gratingDensity[1:]], dt)
+            kwargs.setdefault('auto_material_kind', 'grating')
         hasExtra = any(isinstance(v, jnp.ndarray) or v
                        for v in (extraPitch, extraRoll, extraYaw))
         return cls(center=arr(center), pitch=arr(pitch), roll=arr(roll),

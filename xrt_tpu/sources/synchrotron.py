@@ -71,6 +71,26 @@ def _kv_nu(nu, x):
     return jnp.where(x < 8.0, small, large)
 
 
+def _nonzero(v):
+    """Static-if-possible branch guard: True when *v* is a jit tracer
+    (the branch must then be compiled in; adding a zero-scaled term is
+    exact), else the concrete comparison."""
+    try:
+        return float(v) > 0
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return True
+
+
+def _scalar(v):
+    """float(v) when concrete, the traced value itself under jit."""
+    try:
+        return float(v)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return v
+
+
 @struct.dataclass
 class _SynchrotronBase:
     """Shared e-beam / acceptance-window parameters
@@ -109,20 +129,20 @@ class _SynchrotronBase:
     @property
     def Theta_min(self):
         return (self.xPrimeMin if self.xPrimeMin is not None
-                else -self.xPrimeMax) - float(self.dxprime)
+                else -self.xPrimeMax) - _scalar(self.dxprime)
 
     @property
     def Theta_max(self):
-        return self.xPrimeMax + float(self.dxprime)
+        return self.xPrimeMax + _scalar(self.dxprime)
 
     @property
     def Psi_min(self):
         return (self.zPrimeMin if self.zPrimeMin is not None
-                else -self.zPrimeMax) - float(self.dzprime)
+                else -self.zPrimeMax) - _scalar(self.dzprime)
 
     @property
     def Psi_max(self):
-        return self.zPrimeMax + float(self.dzprime)
+        return self.zPrimeMax + _scalar(self.dzprime)
 
     @property
     def xzE(self):
@@ -176,11 +196,11 @@ class _SynchrotronBase:
                 for m in np.meshgrid(*tomesh, indexing='ij')]
         k1, k2, k3, k4 = jax.random.split(key, 4)
         expand = (slice(None),) + (None,) * (len(tomesh) - 1)
-        if withElectronDivergence and float(self.dxprime) > 0:
+        if withElectronDivergence and _nonzero(self.dxprime):
             dthe = self.dxprime * jax.random.normal(
                 k1, (nmacro,), config.dtype())
             mesh[1] = mesh[1] + dthe[expand]
-        if withElectronDivergence and float(self.dzprime) > 0:
+        if withElectronDivergence and _nonzero(self.dzprime):
             dpsi = self.dzprime * jax.random.normal(
                 k2, (nmacro,), config.dtype())
             mesh[2] = mesh[2] + dpsi[expand]
@@ -337,7 +357,7 @@ class _SynchrotronBase:
 
         dtheta = jnp.zeros((nrays,), dt)
         dpsi = jnp.zeros((nrays,), dt)
-        if float(self.dxprime) > 0:
+        if _nonzero(self.dxprime):
             dtheta = dtheta + self.dxprime * jax.random.normal(keys[5],
                                                                (nrays,), dt)
         if getattr(self, '_smear_1_over_gamma', False):
@@ -345,7 +365,7 @@ class _SynchrotronBase:
             # (synchr.py:381-382)
             dtheta = dtheta + jax.random.normal(keys[6], (nrays,), dt) \
                 / self.gamma
-        if float(self.dzprime) > 0:
+        if _nonzero(self.dzprime):
             dpsi = dpsi + self.dzprime * jax.random.normal(keys[7],
                                                            (nrays,), dt)
 
