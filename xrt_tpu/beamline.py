@@ -170,6 +170,13 @@ class BeamLine:
         if center is None:
             center = self._axis_point + self._axis_dir * float(distance)
         center = np.asarray(center, float)
+        # unit strings ('17deg', '4 mrad') are parsed by element.create,
+        # but the axis bookkeeping below needs numbers now
+        from . import config as _config
+        for angName in ('pitch', 'roll', 'yaw', 'positionRoll'):
+            if angName in kwargs:
+                kwargs[angName] = _config.auto_units_angle(kwargs[angName])
+        pitch = _config.auto_units_angle(pitch)
         if pitch == 'auto':
             m = bragg_material or kwargs.get('material')
             pitch = float(m.get_Bragg_angle(self.alignE) -
@@ -445,9 +452,17 @@ def _local_to_global_aperture(aperture, lo):
 
 def _create_signature_names(cls):
     """Union of parameter names accepted by create() across the MRO (a
-    subclass create forwards **kwargs to its parents)."""
+    subclass create forwards **kwargs to its parents).  Factory FUNCTIONS
+    (e.g. materials.Coated, aperture factories) expose their own
+    signature."""
     import inspect
     names = set()
+    if not hasattr(cls, '__mro__'):
+        for p in inspect.signature(cls).parameters.values():
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
+                names.add(p.name)
+        names.discard('kwargs')
+        return names
     for c in cls.__mro__:
         fn = c.__dict__.get('create')
         if fn is None:

@@ -78,6 +78,21 @@ def cfull(shape, value, dtype=None):
                            jnp.full(shape, value.imag, rdt))
 
 
+def parse_energy(value):
+    """'8000 eV' / '8 keV' -> eV as float, else None (reference
+    parse_energy_string, _flow_utils.py:106-115).  Used wherever an
+    angle-like parameter may instead carry an alignment energy
+    (bragg='8000 eV')."""
+    if not isinstance(value, str):
+        return None
+    import re
+    m = re.match(r'^([-+0-9.eE]+)\s*(ev|kev|mev)$', value.strip().lower())
+    if m is None:
+        return None
+    return float(m.group(1)) * {'ev': 1.0, 'kev': 1e3,
+                                'mev': 1e6}[m.group(2)]
+
+
 def auto_units_angle(angle, defaultFactor=1.0):
     """Parse angle values given as strings with units — '0.2 deg',
     '4 mrad', '250 urad', '10 nrad', '0.004 rad' — into radians

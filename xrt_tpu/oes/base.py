@@ -1110,6 +1110,16 @@ class OE(_OEMethods):
         yaw = config.auto_units_angle(yaw)
         positionRoll = config.auto_units_angle(positionRoll)
         alpha = config.auto_units_angle(alpha)
+        if isinstance(bragg, str):
+            # bragg may carry an alignment ENERGY ('8000 eV'): resolve to
+            # the Bragg angle of this element's material (reference
+            # auto_units_angle_with_energy, _flow_utils.py:118-123)
+            E_al = config.parse_energy(bragg)
+            if E_al is not None and material is not None:
+                bragg = float(material.get_Bragg_angle(E_al) -
+                              material.get_dtheta(E_al))
+            elif 'auto' in bragg.lower():
+                bragg = None
         bragg = config.auto_units_angle(bragg)
 
         def arr(v):

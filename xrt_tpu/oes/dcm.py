@@ -49,7 +49,17 @@ class DCM(OE):
                limPhysX2=None, limPhysY2=None, limOptX2=None, limOptY2=None,
                material=None, material2=None, alignE=None, **kwargs):
         dt = config.dtype()
-        if alignE is not None and material is not None:
+        if isinstance(bragg, str):
+            E_al = config.parse_energy(bragg)
+            if E_al is not None:
+                alignE, bragg = float(E_al), None
+            elif 'auto' in bragg.lower():
+                bragg = None
+            else:
+                bragg = config.auto_units_angle(bragg)
+        if (bragg is None or alignE is not None) and material is not None:
+            if alignE is None:
+                alignE = 9000.0
             bragg = float(material.get_Bragg_angle(alignE) -
                           material.get_dtheta(alignE))
         bragg = bragg - braggOffset

@@ -121,6 +121,54 @@ def _filtered_create_kwargs(cls, params, skipped, tag):
     return kwargs
 
 
+def _alignment_beam(p, d, E):
+    import jax.numpy as jnp
+
+    from . import config
+    from .beam import Beam
+    dt = config.dtype()
+    one = jnp.ones((1,), dt)
+    return Beam(x=one * p[0], y=one * p[1], z=one * p[2],
+                a=one * d[0], b=one * d[1], c=one * d[2],
+                E=one * E, state=jnp.ones((1,), jnp.int32),
+                path=jnp.zeros((1,), dt), Jss=one * 0.5, Jpp=one * 0.5,
+                Jsp=config.czeros((1,)))
+
+
+def _advance_alignment(el, p, d, E, center):
+    """Propagate the single alignment ray through the freshly built
+    element with its REAL method (the reference advances its alignment
+    beam the same way, beamline.py:380-428); fall back to the incoming
+    ray on any failure."""
+    import jax
+    if hasattr(el, 'shine'):
+        c = np.asarray(el.center, float) if getattr(el, 'center', None) \
+            is not None else center
+        return c, np.array([0.0, 1.0, 0.0])
+    try:
+        beam = _alignment_beam(p, d, E)
+        key = jax.random.PRNGKey(0)
+        if hasattr(el, 'double_reflect'):
+            out = el.double_reflect(beam, key=key)[0]
+        elif hasattr(el, 'double_refract'):
+            out = el.double_refract(beam, key=key)[0]
+        elif hasattr(el, 'reflect'):
+            out = el.reflect(beam, key=key)[0]
+        elif hasattr(el, 'propagate'):
+            from .beamline import _local_to_global_aperture
+            out = _local_to_global_aperture(el, el.propagate(beam))
+        else:
+            return p, d       # screens do not change the ray
+        p2 = np.array([float(out.x[0]), float(out.y[0]), float(out.z[0])])
+        d2 = np.array([float(out.a[0]), float(out.b[0]), float(out.c[0])])
+        if int(out.state[0]) > 0 and np.all(np.isfinite(p2)) and \
+                np.all(np.isfinite(d2)) and np.linalg.norm(d2) > 0.5:
+            return p2, d2 / np.linalg.norm(d2)
+    except Exception:
+        pass
+    return p, d
+
+
 def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
     """Load a Qook project XML into (BeamLine, plots, run kwargs).
 
@@ -157,6 +205,11 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
         raise ValueError('no BeamLine section in the Qook project')
     blp = _props(bl_node)
     alignE = blp.get('alignE', 9000.0)
+    from . import config as _config
+    eparsed = _config.parse_energy(alignE) if isinstance(alignE, str) \
+        else None
+    if eparsed is not None:
+        alignE = eparsed
     bl = BeamLine(azimuth=float(blp.get('azimuth', 0.0) or 0.0),
                   height=float(blp.get('height', 0.0) or 0.0),
                   alignE=9000.0 if alignE in (None, 'auto')
@@ -186,21 +239,24 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
         if p0.get('eMin') is not None and p0.get('eMax') is not None:
             bl.alignE = 0.5 * (float(p0['eMin']) + float(p0['eMax']))
 
+    # --- build elements, auto-aligning with a traced 1-ray alignment
+    # beam exactly like the reference (beamline.py:430-503: fixed-plane
+    # intersection for 'auto' center components, the targetPitch formula
+    # for pitch/bragg='auto', then the real propagation method advances
+    # the alignment beam)
     beam_sources: Dict[str, str] = {}
-    axes: Dict[str, Any] = {}
+    align: Dict[str, Any] = {}       # element -> (point, direction)
+    p_cur = np.zeros(3)
+    d_cur = np.array([0.0, 1.0, 0.0])
     for el, obj, method_node in elements:
-        # the input beam of this step (Qook flows are DAGs: several
-        # branches can start from one source); restore that branch's
-        # optical axis for 'auto' placement
         src_el = None
         if method_node is not None:
             pnode = method_node.find('parameters')
             if pnode is not None:
                 in_beam = (pnode.findtext('beam') or '').strip()
                 src_el = beam_sources.get(in_beam)
-        if src_el is not None and src_el in axes:
-            bl._axis_point, bl._axis_dir = (axes[src_el][0].copy(),
-                                            axes[src_el][1].copy())
+        if src_el is not None and src_el in align:
+            p_cur, d_cur = align[src_el]
         cls = _resolve_class(obj)
         params = _props(el)
         for k, v in list(params.items()):
@@ -214,51 +270,88 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
         kwargs.pop('center', None)
         kwargs.pop('name', None)    # registered under the node tag
 
-        # screen 'auto' orientation: perpendicular to the current axis
+        # 'auto' center components: intersect the alignment ray with the
+        # plane of a fixed coordinate (reference beamline.py:440-454)
+        c = list(center) if isinstance(center, (list, tuple)) \
+            else list(np.asarray(center, float))
+        if any(v == 'auto' for v in c):
+            t = None
+            for i in (1, 0, 2):
+                if c[i] != 'auto' and abs(d_cur[i]) > 1e-3:
+                    t = (float(c[i]) - p_cur[i]) / d_cur[i]
+                    break
+            t = 0.0 if t is None else t
+            for i in range(3):
+                c[i] = float(p_cur[i] + t * d_cur[i]) if c[i] == 'auto' \
+                    else float(c[i])
+        else:
+            c = [float(v) for v in c]
+
+        # screen 'auto' orientation: perpendicular to the incoming ray
         if hasattr(cls, 'expose') and \
                 (params.get('x') == 'auto' or params.get('z') == 'auto'):
-            d = bl.axis_dir
-            if not np.allclose(d, [0.0, 1.0, 0.0], atol=1e-12):
-                x_b = np.cross(d, [0.0, 0.0, 1.0])
+            if not np.allclose(d_cur, [0.0, 1.0, 0.0], atol=1e-12):
+                x_b = np.cross(d_cur, [0.0, 0.0, 1.0])
                 nx = np.linalg.norm(x_b)
                 x_b = np.array([1.0, 0.0, 0.0]) if nx < 1e-12 else x_b / nx
-                z_b = np.cross(x_b, d)
+                z_b = np.cross(x_b, d_cur)
                 if params.get('x') == 'auto':
                     kwargs['x'] = tuple(x_b)
                 if params.get('z') == 'auto':
                     kwargs['z'] = tuple(z_b)
 
-        hasAuto = (isinstance(center, (list, tuple)) and
-                   any(c == 'auto' for c in center)) or pitch == 'auto'
-        if hasAuto:
-            # resolve 'auto' center components on the current optical
-            # axis, parameterized by the known y component
-            c = list(center)
-            ap, ad = bl.axis_point, bl.axis_dir
-            t = None
-            for i in (1, 0, 2):
-                if c[i] != 'auto' and abs(ad[i]) > 1e-12:
-                    t = (float(c[i]) - ap[i]) / ad[i]
-                    break
-            if t is None:
-                t = 0.0
-            for i in range(3):
-                if c[i] == 'auto':
-                    c[i] = float(ap[i] + t * ad[i])
+        # pitch/bragg='auto': the reference targetPitch formula
+        # (beamline.py:472-503)
+        if pitch == 'auto' or kwargs.get('bragg') == 'auto':
+            from . import config as _config
+            mat = kwargs.get('material')
+            mats = mat if not isinstance(mat, (list, tuple)) else \
+                mat[int(kwargs.get('curSurface', 0) or 0)]
+            target = 0.0
+            if mats is not None and hasattr(mats, 'get_Bragg_angle'):
+                braggT = float(mats.get_Bragg_angle(bl.alignE))
+                alphaT = _config.auto_units_angle(
+                    kwargs.get('alpha')) or 0.0
+                lauePitch = 0.0
+                geom = getattr(mats, 'geom', '')
+                if getattr(mats, 'kind', '') == 'multilayer':
+                    braggT -= float(mats.get_dtheta(bl.alignE))
+                elif geom.startswith('Laue'):
+                    lauePitch = 0.5 * math.pi
+                else:
+                    try:
+                        braggT -= float(mats.get_dtheta(bl.alignE, alphaT))
+                    except TypeError:
+                        braggT -= float(mats.get_dtheta(bl.alignE))
+                roll0 = (_config.auto_units_angle(
+                    kwargs.get('positionRoll')) or 0.0) + \
+                    (_config.auto_units_angle(kwargs.get('roll')) or 0.0)
+                yaw0 = _config.auto_units_angle(kwargs.get('yaw')) or 0.0
+                a_, b_, cz = d_cur
+                # undo the element's yaw (about z) then roll (about y) —
+                # the reference's RzRyRx order (rotate_beam,
+                # _rotate.py:39-43)
+                cy, sy = math.cos(-yaw0), math.sin(-yaw0)
+                a1, b1 = cy * a_ - sy * b_, sy * a_ + cy * b_
+                ca, sa = math.cos(-roll0), math.sin(-roll0)
+                a2, c1 = ca * a1 + sa * cz, -sa * a1 + ca * cz
+                theta0 = math.atan2(-c1, b1)
+                th2pitch = math.sqrt(max(1.0 - a2 * a2, 1e-12))
+                target = math.asin(
+                    min(1.0, math.sin(braggT) / th2pitch)) - theta0
+                target += alphaT + lauePitch
             if pitch == 'auto':
-                kwargs.pop('pitch', None)
-                bl.place(el.tag, cls, center=tuple(float(x) for x in c),
-                         pitch='auto',
-                         bragg_material=kwargs.get('material'), **kwargs)
-            else:
-                bl.place(el.tag, cls,
-                         center=tuple(float(x) for x in c), **kwargs)
+                kwargs['pitch'] = target
+            if kwargs.get('bragg') == 'auto':
+                kwargs['bragg'] = target - (_config.auto_units_angle(
+                    kwargs.get('pitch')) or 0.0)
+
+        factory = getattr(cls, 'create', cls)
+        if 'center' in _create_signature_names(cls):
+            el_obj = factory(center=tuple(c), **kwargs)
         else:
-            el_obj = cls.create(center=tuple(center), **kwargs) \
-                if 'center' in _create_signature_names(cls) \
-                else cls.create(**kwargs)
-            bl.add(el.tag, el_obj)
-            bl._axis_point = np.asarray(center, float)
+            el_obj = factory(**kwargs)
+        bl.add(el.tag, el_obj)
 
         # '_input' names the upstream element for propagate_flow
         if src_el is not None:
@@ -266,7 +359,11 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
             kw_ = dict(kw_)
             kw_['_input'] = src_el
             bl.flow[-1] = (n_, k_, m_, kw_)
-        axes[el.tag] = (bl.axis_point, bl.axis_dir)
+
+        # advance the alignment ray through the element
+        p_cur, d_cur = _advance_alignment(el_obj, p_cur, d_cur, bl.alignE,
+                                          np.asarray(c, float))
+        align[el.tag] = (p_cur, d_cur)
 
         # record which beam names this element's method produces
         if method_node is not None:

@@ -211,7 +211,8 @@ class Undulator(_SynchrotronBase):
                 Inew = float(src._intensity_probe())
                 if Iold is not None:
                     vals.append(Inew)
-                    dIs.append(abs(Inew - Iold) / abs(Inew))
+                    dIs.append(abs(Inew - Iold) /
+                               max(abs(Inew), 1e-300))
                 Iold = Inew
             vals = np.array(vals)
             med = np.median(vals)
@@ -423,6 +424,8 @@ class Undulator(_SynchrotronBase):
         """(flux, amp_s, amp_p) at (E, theta, psi)
         (cf. _build_I_map_conv, synchr.py:1982-2056)."""
         w = jnp.asarray(w)
+        if not jnp.issubdtype(w.dtype, jnp.floating):
+            w = w.astype(config.dtype())
         dt = w.dtype
         gamma0 = self.gamma
         if self.eEspread > 0:
