@@ -93,3 +93,30 @@ def test_qook_grating_density_on_any_oe():
     o2, _ = g2.reflect(beam)
     np.testing.assert_allclose(np.asarray(o1.c), np.asarray(o2.c),
                                atol=1e-12)
+
+
+def test_qook_local_beam_plots_map_to_local_keys():
+    """Plots of OE footprints (beam='...beamLocal...') must address the
+    LOCAL beam in propagate_flow's dict, not the global one."""
+    prj = load_qook_project(os.path.join(QOOK, 'testAlignment.xml'),
+                            nrays=500)
+    local_plots = [p for p in prj.plots if p.beam.endswith('_local')]
+    assert local_plots, 'expected local-footprint plots in testAlignment'
+    beams = prj.beamline.propagate_flow(jax.random.PRNGKey(0))
+    for p in prj.plots:
+        assert p.beam in beams, p.beam
+
+
+def test_qook_branched_flow_survives_json_roundtrip():
+    """'_input' branch wiring must serialize with the layout: both
+    branches of mask_tests feed off the source directly."""
+    prj = load_qook_project(os.path.join(QOOK, 'mask_tests.xml'),
+                            nrays=1000)
+    from xrt_tpu.beamline import BeamLine
+    bl2 = BeamLine.load_from_json(prj.beamline.export_to_json())
+    b1 = prj.beamline.propagate_flow(jax.random.PRNGKey(3))
+    b2 = bl2.propagate_flow(jax.random.PRNGKey(3))
+    last = list(b1)[-1]
+    np.testing.assert_allclose(np.asarray(b1[last].x),
+                               np.asarray(b2[last].x))
+    assert any('_input' in kw for *_, kw in bl2.flow)

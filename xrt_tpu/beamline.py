@@ -345,6 +345,11 @@ class BeamLine:
             for fname, mdict in _element_materials(el).items():
                 m = ET.SubElement(e, 'material', name=fname)
                 m.text = json.dumps(mdict)
+            if kwargs:
+                mk = ET.SubElement(e, 'methodKwargs')
+                mk.text = json.dumps({
+                    k: v for k, v in kwargs.items()
+                    if isinstance(v, (str, int, float, bool))})
         text = minidom.parseString(ET.tostring(root)).toprettyxml(
             indent=' ')
         if fileName:
@@ -381,7 +386,9 @@ class BeamLine:
                 params['material'] = materials[name]
             el = ecls.create(**params) if hasattr(ecls, 'create') \
                 else ecls(**params)
-            bl.add(name, el, kind=e.get('kind'), method=e.get('method'))
+            mk = e.findtext('methodKwargs')
+            bl.add(name, el, kind=e.get('kind'), method=e.get('method'),
+                   **(json.loads(mk) if mk else {}))
         return bl
 
     def export_to_json(self, fileName=None):
@@ -394,6 +401,10 @@ class BeamLine:
                      'class': type(el).__name__,
                      'module': type(el).__module__,
                      'params': _element_params(el)}
+            if kwargs:
+                entry['methodKwargs'] = {
+                    k: v for k, v in kwargs.items()
+                    if isinstance(v, (str, int, float, bool))}
             mats = _element_materials(el)
             if mats:
                 entry['materials'] = mats
@@ -433,7 +444,8 @@ class BeamLine:
             el = ecls.create(**params) if hasattr(ecls, 'create') \
                 else ecls(**params)
             bl.add(entry['name'], el, kind=entry['kind'],
-                   method=entry['method'])
+                   method=entry['method'],
+                   **(entry.get('methodKwargs') or {}))
         return bl
 
 
@@ -473,6 +485,11 @@ def _create_signature_names(cls):
                 names.add(p.name)
     names.discard('cls')
     names.discard('kwargs')
+    if not names:            # no create(): the dataclass ctor is the API
+        for p in inspect.signature(cls.__init__).parameters.values():
+            if p.name != 'self' and p.kind in (p.POSITIONAL_OR_KEYWORD,
+                                               p.KEYWORD_ONLY):
+                names.add(p.name)
     return names
 
 

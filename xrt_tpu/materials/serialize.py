@@ -14,10 +14,10 @@ bLayer / substrate) recurse.
 from __future__ import annotations
 
 import importlib
-import inspect
 
 import jax.numpy as jnp
 
+from ..beamline import _create_signature_names
 from .material import Material, EmptyMaterial
 from .multilayer import Multilayer
 
@@ -26,26 +26,6 @@ _RENAMES = {'b_': 'b', 'atoms_Z': 'atoms'}
 # replace() after create().  Complex arrays are JSON-tagged.
 _RAW_FIELDS = ('riE', 'riN', 'efficiency_orders', 'efficiency_I',
                'efficiency_E', 'dti', 'dbi')
-
-
-def _create_signature_names(cls):
-    names = set()
-    for c in cls.__mro__:
-        fn = c.__dict__.get('create')
-        if fn is None:
-            continue
-        fn = getattr(fn, '__func__', fn)
-        for p in inspect.signature(fn).parameters.values():
-            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
-                names.add(p.name)
-    names.discard('cls')
-    names.discard('kwargs')
-    if not names:            # no create(): the dataclass ctor is the API
-        for p in inspect.signature(cls.__init__).parameters.values():
-            if p.name != 'self' and p.kind in (p.POSITIONAL_OR_KEYWORD,
-                                               p.KEYWORD_ONLY):
-                names.add(p.name)
-    return names
 
 
 def _encode(val):

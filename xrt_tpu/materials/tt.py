@@ -279,23 +279,10 @@ def compute_tt_params_full(crystal, alphaAsym=None, Rm=None, Rs=None,
 # ---------------------------------------------------------------------------
 # device-side solver
 
-def _bragg_rhs(xi, zfrac, strain0, cz0t, cbt, cht):
-    """i*[(strain0 + cz0t*zfrac)*xi + cbt*xi^2 + cht]; z parameterized by
-    zfrac in [-1, 0], all c-coefficients pre-multiplied by thickness
-    (ksi_prime, materials.cl:1183-1194)."""
-    c0s = strain0 + cz0t * zfrac
-    return 1j * (c0s * xi + cbt * xi * xi + cht)
-
-
-def _laue_rhs(state, zfrac, strain0, cz0t, cbt, cht, g0t):
-    xi, d0 = state
-    c0s = strain0 + cz0t * zfrac
-    dxi = 1j * (cbt * xi * xi + c0s * xi + cht)
-    dd0 = -1j * (g0t + cbt * xi) * d0
-    return dxi, dd0
-
-
-# Lawson (integrating-factor) RK4: the TT Riccati's linear term
+# Lawson (integrating-factor) RK4 of the TT equations
+# (xi' = i*[(strain0 + cz0t*zfrac)*xi + cbt*xi^2 + cht], the ksi_prime of
+# materials.cl:1183-1194; Laue couples d0' = -i*(g0t + cbt*xi)*d0).
+# The Riccati's linear term
 # i*c0s(z)*xi is stiff for thick bent crystals — |c0s| grows as
 # strain*t^2 (the cz0t term), and once dz*|c0s| exceeds RK4's imaginary
 # stability bound (~2.83) a plain RK4 explodes within a few steps (NaN

@@ -1115,7 +1115,11 @@ class OE(_OEMethods):
             # the Bragg angle of this element's material (reference
             # auto_units_angle_with_energy, _flow_utils.py:118-123)
             E_al = config.parse_energy(bragg)
-            if E_al is not None and material is not None:
+            if E_al is not None:
+                if material is None:
+                    raise ValueError(
+                        f'bragg={bragg!r} needs a material to resolve '
+                        'the Bragg angle')
                 bragg = float(material.get_Bragg_angle(E_al) -
                               material.get_dtheta(E_al))
             elif 'auto' in bragg.lower():

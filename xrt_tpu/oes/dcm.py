@@ -57,6 +57,10 @@ class DCM(OE):
                 bragg = None
             else:
                 bragg = config.auto_units_angle(bragg)
+        if bragg is None and material is None:
+            raise ValueError(
+                "DCM with bragg='auto'/energy (or no bragg) needs a "
+                'material to resolve the Bragg angle')
         if (bragg is None or alignE is not None) and material is not None:
             if alignE is None:
                 alignE = 9000.0

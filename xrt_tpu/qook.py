@@ -41,17 +41,65 @@ class QookProject:
     run_kwargs: Dict[str, Any]
     materials: Dict[str, Any]
     beam_sources: Dict[str, str]         # beam name -> element name
+    beam_keys: Dict[str, str] = field(default_factory=dict)
     skipped: Dict[str, Dict[str, Any]] = field(default_factory=dict)
     description: str = ''
 
 
-_EVAL_NS = {'auto': 'auto', 'None': None, 'True': True, 'False': False,
-            'np': np, 'numpy': np, 'pi': math.pi, 'inf': math.inf}
+_EVAL_NAMES = {'auto': 'auto', 'None': None, 'True': True, 'False': False,
+               'pi': math.pi, 'inf': math.inf}
+_NP_WHITELIST = {'pi', 'inf', 'e', 'linspace', 'arange', 'array', 'sqrt',
+                 'sin', 'cos', 'tan', 'radians', 'degrees', 'abs', 'exp',
+                 'log', 'log10'}
+
+
+def _safe_eval(node):
+    """Evaluate the tiny expression language Qook files actually use
+    (arithmetic, tuples/lists, np.pi / np.linspace(...)) WITHOUT eval —
+    a project file is untrusted input."""
+    if isinstance(node, ast.Expression):
+        return _safe_eval(node.body)
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.Name):
+        if node.id in _EVAL_NAMES:
+            return _EVAL_NAMES[node.id]
+        raise ValueError(node.id)
+    if isinstance(node, ast.Attribute):
+        if isinstance(node.value, ast.Name) and \
+                node.value.id in ('np', 'numpy', 'math') and \
+                node.attr in _NP_WHITELIST:
+            return getattr(np, node.attr) if node.value.id != 'math' \
+                else getattr(math, node.attr)
+        raise ValueError('attribute')
+    if isinstance(node, ast.Call):
+        fn = _safe_eval(node.func)
+        if node.keywords:
+            raise ValueError('kwargs')
+        return fn(*[_safe_eval(a) for a in node.args])
+    if isinstance(node, ast.BinOp) and isinstance(
+            node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Pow,
+                      ast.FloorDiv, ast.Mod)):
+        L, R = _safe_eval(node.left), _safe_eval(node.right)
+        op = type(node.op)
+        return {ast.Add: lambda: L + R, ast.Sub: lambda: L - R,
+                ast.Mult: lambda: L * R, ast.Div: lambda: L / R,
+                ast.Pow: lambda: L ** R, ast.FloorDiv: lambda: L // R,
+                ast.Mod: lambda: L % R}[op]()
+    if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, (ast.UAdd, ast.USub)):
+        v = _safe_eval(node.operand)
+        return v if isinstance(node.op, ast.UAdd) else -v
+    if isinstance(node, (ast.Tuple, ast.List)):
+        vals = [_safe_eval(e) for e in node.elts]
+        return tuple(vals) if isinstance(node, ast.Tuple) else vals
+    raise ValueError(type(node).__name__)
 
 
 def _parse_value(text):
     """Qook stores values as python expressions ('10000-10', '(0, 0, 0)',
-    '[0, 21000, "auto"]', 'auto', 'None', 'Si')."""
+    '[0, 21000, "auto"]', 'auto', 'None', 'np.linspace(-2, 2, 5)').
+    Evaluated with a whitelisted mini-interpreter, never eval()."""
     if text is None:
         return None
     t = text.strip()
@@ -62,8 +110,8 @@ def _parse_value(text):
     except (ValueError, SyntaxError):
         pass
     try:
-        return eval(t, {'__builtins__': {}}, _EVAL_NS)
-    except Exception:
+        return _safe_eval(ast.parse(t, mode='eval'))
+    except (ValueError, SyntaxError, TypeError, KeyError, ZeroDivisionError):
         return t          # a bareword: element/material/beam name, 'Si'...
 
 
@@ -245,6 +293,7 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
     # for pitch/bragg='auto', then the real propagation method advances
     # the alignment beam)
     beam_sources: Dict[str, str] = {}
+    beam_keys: Dict[str, str] = {}
     align: Dict[str, Any] = {}       # element -> (point, direction)
     p_cur = np.zeros(3)
     d_cur = np.array([0.0, 1.0, 0.0])
@@ -365,12 +414,28 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
                                           np.asarray(c, float))
         align[el.tag] = (p_cur, d_cur)
 
-        # record which beam names this element's method produces
+        # record which beam names this element's method produces.
+        # beam_sources (for '_input' wiring) always points at the element
+        # (propagate_flow's GLOBAL beam); beam_keys maps each output beam
+        # to its exact key in the propagate_flow dict so plots of local
+        # footprints keep local coordinates
         if method_node is not None:
             out = method_node.find('output')
             if out is not None:
+                isScreenLike = hasattr(cls, 'expose') or \
+                    (hasattr(cls, 'propagate') and
+                     not hasattr(cls, 'reflect'))
                 for b in out:
-                    beam_sources[(b.text or '').strip()] = el.tag
+                    bname = (b.text or '').strip()
+                    beam_sources[bname] = el.tag
+                    if b.tag == 'beamLocal1':
+                        beam_keys[bname] = el.tag + '_local1'
+                    elif b.tag == 'beamLocal2':
+                        beam_keys[bname] = el.tag + '_local2'
+                    elif b.tag.startswith('beamLocal') and not isScreenLike:
+                        beam_keys[bname] = el.tag + '_local'
+                    else:
+                        beam_keys[bname] = el.tag
 
     # --- plots
     plots = []
@@ -396,8 +461,8 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
                     if ch.tag in pl_names and v is not None:
                         kw[ch.tag] = v
             beam = kw.get('beam', '')
-            if beam in beam_sources:
-                kw['beam'] = beam_sources[beam]
+            if beam in beam_keys:
+                kw['beam'] = beam_keys[beam]
             if isinstance(kw.get('rayFlag'), (list, tuple)):
                 kw['rayFlag'] = tuple(kw['rayFlag'])
             elif isinstance(kw.get('rayFlag'), int):
@@ -417,4 +482,5 @@ def load_qook_project(fileName_or_text, nrays=None) -> QookProject:
     desc = root.findtext('description') or ''
     return QookProject(beamline=bl, plots=plots, run_kwargs=run_kwargs,
                        materials=materials, beam_sources=beam_sources,
-                       skipped=skipped, description=desc.strip())
+                       beam_keys=beam_keys, skipped=skipped,
+                       description=desc.strip())

@@ -58,7 +58,12 @@ class SourceFromField(_SynchrotronBase):
     gIntervals: int = struct.field(pytree_node=False, default=2)
     # near-field observation distance [mm] (None = far field); cf. the
     # reference R0 mode of SourceFromField (synchr.py:1302-1318, _sp
-    # R0 branch :811-846) used e.g. for IR edge radiation
+    # R0 branch :811-846) used e.g. for IR edge radiation.  NB the
+    # near-field phase is formed in the working dtype: float64-grade on
+    # CPU; on the f32 TPU it is adequate for long wavelengths (IR/THz,
+    # wc*LRS << 1e6 rad) — hard-x-ray near-field work at wide acceptance
+    # should run the f64 CPU path (the undulator's dedicated near-field
+    # mode keeps its wrapped-phase discipline instead)
     R0: Optional[float] = struct.field(pytree_node=False, default=None)
 
     @classmethod
