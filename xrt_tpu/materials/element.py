@@ -47,8 +47,9 @@ class Element:
         (cf. element.py:252-263).  Out-of-table energies are clamped (the
         reference raises; in jit-land we clamp and rely on host-side
         validation)."""
-        f1 = jnp.interp(E, self.Etable, self.f1table)
-        f2 = jnp.interp(E, self.Etable, self.f2table)
+        from ..ops.interp import fast_interp
+        f1 = fast_interp(E, self.Etable, self.f1table)
+        f2 = fast_interp(E, self.Etable, self.f2table)
         # lax.complex instead of "+ 1j*f2": no host complex constant, which
         # some TPU transports cannot transfer in eager mode
         import jax

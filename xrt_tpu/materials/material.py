@@ -146,8 +146,9 @@ class Material:
             if self.efficiency_E is None:
                 val = self.efficiency_I[i]
             else:
-                val = jnp.interp(E, self.efficiency_E,
-                                 self.efficiency_I[i])
+                from ..ops.interp import fast_interp
+                val = fast_interp(E, self.efficiency_E,
+                                  self.efficiency_I[i])
             resI = jnp.where(order == o, val, resI)
         amp = jnp.sqrt(jnp.clip(resI, 0.0, None))
         return amp, amp
@@ -160,8 +161,9 @@ class Material:
                                     jnp.shape(E))
         if self.riE is not None:
             E = jnp.asarray(E)
-            nr = jnp.interp(E, self.riE, self.riN.real)
-            ni = jnp.interp(E, self.riE, self.riN.imag)
+            from ..ops.interp import fast_interp
+            nr = fast_interp(E, self.riE, self.riN.real)
+            ni = fast_interp(E, self.riE, self.riN.imag)
             # no "nr + 1j*ni": an eager complex scalar constant is a
             # doomed host->device transfer on some TPU transports
             return jax.lax.complex(nr, ni)

@@ -55,6 +55,12 @@ def _z_eps(dtype):
     return 3e-6
 
 
+def _rel_eps(dtype):
+    """Relative bracket-width tolerance (a small multiple of the dtype
+    epsilon: the bracket cannot shrink below the ULP of t anyway)."""
+    return 32.0 * float(jnp.finfo(dtype).eps)
+
+
 def find_intersection(surface_fn, tMin, tMax, x, y, z, a, b, c,
                       invertNormal=1, active=None, max_iterations=None):
     """Bracketed root-find against an explicit surface z(x, y); see
@@ -128,7 +134,13 @@ def find_intersection_dz(dz_fn, tMin, tMax, x, y, z, a, b, c,
         fb = jnp.where(act, fb_n, fb)
         ts_keep = jnp.where(act, ts, ts_prev)
         fs_keep = jnp.where(act, fs, fs_prev)
-        act = act & (jnp.abs(fs) > eps) & (jnp.abs(tb - ta) > eps)
+        # relative bracket tolerance: the absolute eps is unreachable in
+        # float32 at beamline scales (t ~ 1e4 mm has ~6e-4 mm ULPs), which
+        # would silently run every ray to max_iterations — each iteration
+        # is an HBM round-trip of the whole ray state.  The Newton polish
+        # below restores full precision from a ~1e-5-relative bracket.
+        tol = eps + _rel_eps(dt) * (jnp.abs(ta) + jnp.abs(tb))
+        act = act & (jnp.abs(fs) > eps) & (jnp.abs(tb - ta) > tol)
         return it + 1, ta, tb, fa, fb, ts_keep, fs_keep, act
 
     ts0 = jnp.where(good, 0.5 * (ta + tb), tMax)
@@ -149,10 +161,12 @@ def find_intersection_dz(dz_fn, tMin, tMax, x, y, z, a, b, c,
     def F(tt):
         return f(tt)[0]
 
-    Ft, dFt = jax.jvp(F, (t0,), (jnp.ones_like(t0),))
-    dFt = jnp.where(jnp.abs(dFt) < 1e-12, 1e-12, dFt)
-    t_newton = t0 - Ft / dFt
-    # keep the Newton step only where it stays within the bracket
+    t_newton = t0
+    for _ in range(2):       # two steps: quadratic -> ~machine precision
+        Ft, dFt = jax.jvp(F, (t_newton,), (jnp.ones_like(t_newton),))
+        dFt = jnp.where(jnp.abs(dFt) < 1e-12, 1e-12, dFt)
+        t_newton = t_newton - Ft / dFt
+    # keep the Newton result only where it stays within the bracket
     ok = good & (t_newton >= tMin) & (t_newton <= tMax) & \
         jnp.isfinite(t_newton)
     t = jnp.where(ok, t_newton, t)
