@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 
 def hist1d(x, weights, bins: int, limits) -> jnp.ndarray:
-    """Weighted 1D histogram on fixed limits via scatter-add."""
+    """Weighted 1D histogram on fixed limits (scatter-add, or the MXU
+    one-hot contraction on TPU at large ray counts — see hist2d)."""
+    if _use_mxu_hist(x, bins, 1):
+        z = jnp.zeros_like(x)
+        return hist2d_mxu(x, z, weights[:, None], bins, 1, limits,
+                          (-1.0, 1.0))[0, :, 0]
     lo, hi = limits
     idx = jnp.floor((x - lo) / (hi - lo) * bins).astype(jnp.int32)
     inside = (idx >= 0) & (idx < bins) & jnp.isfinite(x)
@@ -26,6 +31,9 @@ def hist1d(x, weights, bins: int, limits) -> jnp.ndarray:
 
 def hist1d_rgb(x, rgb, bins: int, limits) -> jnp.ndarray:
     """RGB-weighted 1D histogram; rgb shape (N, 3) -> (bins, 3)."""
+    if _use_mxu_hist(x, bins, 1):
+        z = jnp.zeros_like(x)
+        return hist2d_mxu(x, z, rgb, bins, 1, limits, (-1.0, 1.0))[0]
     lo, hi = limits
     idx = jnp.floor((x - lo) / (hi - lo) * bins).astype(jnp.int32)
     inside = (idx >= 0) & (idx < bins) & jnp.isfinite(x)
