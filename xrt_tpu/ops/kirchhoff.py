@@ -265,7 +265,8 @@ def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     src['ser'] = src['esr'] + src['epr']
     src['sei'] = src['esi'] + src['epi']
     params = dict(Cx=Ch[0], Cy=Ch[1], Cz=Ch[2],
-                  Lx=Lh[0], Ly=Lh[1], Lz=Lh[2], rho=rho)
+                  Lx=Lh[0], Ly=Lh[1], Lz=Lh[2], rho=rho,
+                  invR0=1.0 / (R0[0] + R0[1]))
     if monochromatic:
         # fold kappa*L.u into a per-dst fractional phase; kappa scalar
         ka0 = (kah[0], kal[0])
@@ -449,14 +450,19 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     kernel at better typical accuracy.
 
     *accumulate*:
-      'mxu' (default) — the ten reduction sums run as four small matmuls
-        on the MXU (bf16 inputs, f32 accumulation).  All ten accumulators
-        are linear in the per-src weights once the recentred geometry
-        ax = Dx(dst) - sigma_x(src) is split, so the per-pair VPU work
-        shrinks to the propagator itself and the systolic array absorbs
-        the contraction.  bf16 rounding of the per-pair propagator is an
+      'mxu' (default) — the ten reduction sums ride TWO MXU left
+        operands (U_r, U_i) against one 28-column weight matrix (4 field
+        columns two-pass bf16, 8 direction columns + their lvh/lvh^2
+        replicas single-pass): 6 matmul passes per chunk.  All ten
+        accumulators are linear in the per-src weights once the
+        recentred geometry ax = Dx(dst) - sigma_x(src) is split and the
+        direction integrand's 1/A weight is series-expanded (see the
+        stage docstring), so the per-pair VPU work shrinks to the
+        propagator itself and the systolic array absorbs the
+        contraction.  bf16 rounding of the per-pair propagator is an
         unbiased ~2^-8 relative perturbation per term that random-walks
         down as 1/sqrt(Nsrc) in the accumulated field.
+      'mxu-fast' — same, single-pass bf16 fields: 2 matmul passes.
       'vpu' — plain f32 multiply-accumulate on the vector unit (the
         reference scheme; keeps every product in f32)."""
     from jax.experimental import pallas as pl
@@ -467,7 +473,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
     dkeys = _DST_KEYS_MONO if monochromatic else _DST_KEYS_POLY
     skeys = _SRC_KEYS_COMMON if monochromatic else _SRC_KEYS_POLY
-    pkeys = ('Cx', 'Cy', 'Cz', 'Lx', 'Ly', 'Lz', 'rho') + \
+    pkeys = ('Cx', 'Cy', 'Cz', 'Lx', 'Ly', 'Lz', 'rho', 'invR0') + \
         (('kappa_h', 'kappa_l') if monochromatic else ())
 
     Nd = xd[0].shape[0]
@@ -533,56 +539,62 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             def stage(j):
                 """Chunk j's per-pair propagator + contraction operands.
 
-                The (P, Q) pair contracts against the four field
-                components; (R, S) against k^2-weighted sums and their
-                sigma = ts + (L.v) L shifted copies (see post-combine).
-                In 'mxu' mode, P/Q (the accumulated FIELD) run as
-                two-pass bf16 splits (hi*hi + hi*lo + lo*hi ~= f32
-                products, 2^-16 per term); R/S feed only the direction
-                extraction, whose signal is each accumulator's own
-                magnitude — single-pass bf16's ~2^-9/sqrt(N) noise is
-                microradians there."""
+                All ten accumulators ride TWO left operands (U_r, U_i)
+                against one 28-column weight matrix: 4 field columns
+                (Es/Ep re/im), 8 direction columns (k^2-weighted field
+                sums x sigma = ts + (L.v) L shifted copies) and their
+                lvh- and lvh^2-scaled replicas.  The direction
+                integrand's per-pair 1/A weight is restored in the
+                post-combine from the separable series
+                1/A = c0 (1 - e + e^2) + O(e^3), e = c0 (L.u - L.v),
+                c0 = 1/R0 — exact to ~(extent/R0)^3 (<~4e-4 worst-case
+                grazing footprints, <1e-9 typical), and the extracted
+                directions are normalized ratios, so a smooth O(e^3)
+                reweighting is far below their noise floor.  MXU pass
+                count per chunk: 2 ('mxu-fast'/'mxu32') or 6 ('mxu':
+                two-pass bf16 field splits hi*hi + hi*lo + lo*hi ~= f32
+                products, 2^-16 per term; direction columns ride the hi
+                pass — single-pass bf16's ~2^-9/sqrt(N) noise is
+                microradians after normalization)."""
                 s1 = {kk: r[j, :] for kk, r in zip(skeys, srefs)}
                 srow_d = {kk: v.reshape(1, -1) for kk, v in s1.items()}
                 U_r, U_i, rinv, _, _, _, _ = _recentred_core(
                     dcol, srow_d, pdict, monochromatic)
-                wpq = rows([s1['esr'], s1['esi'], s1['epr'], s1['epi']])
                 a1 = s1['k2'] * s1['ser']
                 a2 = s1['k2'] * s1['sei']
                 sx = s1['tsx'] + s1['lvh'] * pdict['Lx']
                 sy = s1['tsy'] + s1['lvh'] * pdict['Ly']
                 sz = s1['tsz'] + s1['lvh'] * pdict['Lz']
-                wrs = rows([a1, a2, a1 * sx, a1 * sy, a1 * sz,
-                            a2 * sx, a2 * sy, a2 * sz])
-                Rv = rinv * U_r
-                Sv = rinv * U_i
+                w8 = [a1, a2, a1 * sx, a1 * sy, a1 * sz,
+                      a2 * sx, a2 * sy, a2 * sz]
+                lv = s1['lvh']
+                lv2 = lv * lv
+                W = rows([s1['esr'], s1['esi'], s1['epr'], s1['epi']] +
+                         w8 + [lv * w for w in w8] + [lv2 * w for w in w8])
                 if accumulate == 'mxu32':       # native f32 dots
-                    return (U_r, U_i, Rv, Sv, wpq, wrs)
+                    return (U_r, U_i, W)
                 if accumulate == 'mxu-fast':    # single-pass bf16
                     return (U_r.astype(bf16), U_i.astype(bf16),
-                            Rv.astype(bf16), Sv.astype(bf16),
-                            wpq.astype(bf16), wrs.astype(bf16))
+                            W.astype(bf16))
                 Ph, Pl = split(U_r)             # 'mxu': two-pass fields
                 Qh, Ql = split(U_i)
-                Wh, Wl = split(wpq)
-                return (Ph, Pl, Qh, Ql, Rv.astype(bf16),
-                        Sv.astype(bf16), Wh, Wl, wrs.astype(bf16))
+                Wb = W.astype(bf16)
+                Wl4 = (W[:4] - Wb[:4].astype(f32)).astype(bf16)
+                return (Ph, Pl, Qh, Ql, Wb, Wl4)
 
             def accum(acc, m):
-                accP, accQ, accR, accS = acc
+                accP, accQ, accPlo, accQlo = acc
                 if accumulate == 'mxu':
-                    Ph, Pl, Qh, Ql, Rb, Sb, Wh, Wl, wrsb = m
-                    accP = accP + mm(Ph, Wh) + mm(Ph, Wl) + mm(Pl, Wh)
-                    accQ = accQ + mm(Qh, Wh) + mm(Qh, Wl) + mm(Ql, Wh)
-                    accR = accR + mm(Rb, wrsb)
-                    accS = accS + mm(Sb, wrsb)
+                    Ph, Pl, Qh, Ql, Wb, Wl4 = m
+                    accP = accP + mm(Ph, Wb)
+                    accQ = accQ + mm(Qh, Wb)
+                    accPlo = accPlo + mm(Ph, Wl4) + mm(Pl, Wb[:4])
+                    accQlo = accQlo + mm(Qh, Wl4) + mm(Ql, Wb[:4])
                 else:
-                    P, Q, R, S, W, wrsm = m
+                    P, Q, W = m
                     accP = accP + mm(P, W)
                     accQ = accQ + mm(Q, W)
-                    accR = accR + mm(R, wrsm)
-                    accS = accS + mm(S, wrsm)
-                return accP, accQ, accR, accS
+                return accP, accQ, accPlo, accQlo
 
             def body(j, acc):
                 # NB: a software pipeline (delaying chunk j-1's matmuls
@@ -591,11 +603,11 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 # forces megabyte VMEM copies every iteration
                 return accum(acc, stage(j))
 
-            init_acc = (jnp.zeros((dst_tile, 4), f32),
+            init_acc = (jnp.zeros((dst_tile, 28), f32),
+                        jnp.zeros((dst_tile, 28), f32),
                         jnp.zeros((dst_tile, 4), f32),
-                        jnp.zeros((dst_tile, 8), f32),
-                        jnp.zeros((dst_tile, 8), f32))
-            accP, accQ, accR, accS = jax.lax.fori_loop(
+                        jnp.zeros((dst_tile, 4), f32))
+            accPw, accQw, accPlo, accQlo = jax.lax.fori_loop(
                 0, nsrc_chunks, body, init_acc)
             # post-combine: ax = Dx(dst) - sigma_x(src) with
             # Dx = Cx + td + (L.u) Lx, so
@@ -604,6 +616,22 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             tdy = dcol['tdy'][:, 0]
             tdz = dcol['tdz'][:, 0]
             pdh = dcol['pdh'][:, 0]
+            accP = accPw[:, 0:4] + accPlo
+            accQ = accQw[:, 0:4] + accQlo
+            # direction integrals: restore 1/A = c0(1 - e + e^2), with
+            # e = c0*(pdh - lvh); the lvh powers live in the column
+            # replicas, the pdh powers in the per-dst coefficients:
+            # 1/A ~= (c0 - c0^2 pdh + c0^3 pdh^2)
+            #        + (c0^2 - 2 c0^3 pdh) lvh + c0^3 lvh^2
+            c0 = pdict['invR0']
+            ed = c0 * pdh
+            cA = (c0 * (1.0 - ed + ed * ed))[:, None]
+            cB = (c0 * c0 * (1.0 - 2.0 * ed))[:, None]
+            cC = c0 * c0 * c0
+            accR = cA * accPw[:, 4:12] + cB * accPw[:, 12:20] + \
+                cC * accPw[:, 20:28]
+            accS = cA * accQw[:, 4:12] + cB * accQw[:, 12:20] + \
+                cC * accQw[:, 20:28]
             Dx = pdict['Cx'] + tdx + pdh * pdict['Lx']
             Dy = pdict['Cy'] + tdy + pdh * pdict['Ly']
             Dz = pdict['Cz'] + tdz + pdh * pdict['Lz']
