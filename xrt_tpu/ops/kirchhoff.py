@@ -267,6 +267,14 @@ def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     params = dict(Cx=Ch[0], Cy=Ch[1], Cz=Ch[2],
                   Lx=Lh[0], Ly=Lh[1], Lz=Lh[2], rho=rho,
                   invR0=1.0 / (R0[0] + R0[1]))
+    # longitudinal-extent parameter of the separable 1/A series used by
+    # the MXU direction-integral accumulation (see _kirchhoff_pallas_
+    # recentred): |e| = |L.u - L.v|/R0 <= (max|L.u| + max|L.v|)/R0.
+    # The truncated series 1/A = c0(1 - e + e^2) is accurate to ~|e|^3;
+    # SERIES_E_MAX is the recommended envelope (~0.1 -> <=0.1% weight
+    # error on the *direction* integrals only; fields are exact).
+    params['e_max'] = params['invR0'] * (
+        jnp.max(jnp.abs(pdh)) + jnp.max(jnp.abs(lvh)))
     if monochromatic:
         # fold kappa*L.u into a per-dst fractional phase; kappa scalar
         ka0 = (kah[0], kal[0])
@@ -287,6 +295,35 @@ def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 _DELTA_C1 = 0.125
 _DELTA_C2 = 0.0625
 _DELTA_C3 = 0.0390625
+
+# validity envelope of the separable 1/A direction-weight series used by
+# accumulate='mxu*' (weight error ~ e^3; 0.1 -> <=0.1%).  Above this the
+# eager path falls back to the exact per-pair 'vpu' contraction.
+SERIES_E_MAX = 0.1
+
+
+def recentred_series_e_max(xd, yd, zd, xs, ys, zs):
+    """Upper bound on the 1/A-series parameter |e| = |L.u - L.v|/R0 for the
+    given destination/source clouds (hi parts only; O(N) numpy, for eager
+    validity checks).  The MXU direction-integral accumulation is accurate
+    to ~e_max^3; see :data:`SERIES_E_MAX`."""
+    import numpy as np
+
+    def hi(v):
+        return np.asarray(v[0] if isinstance(v, tuple) else v,
+                          dtype=np.float64)
+    d = np.stack([hi(xd), hi(yd), hi(zd)])
+    s = np.stack([hi(xs), hi(ys), hi(zs)])
+    D0 = d.mean(axis=1)
+    S0 = s.mean(axis=1)
+    C = D0 - S0
+    R0 = float(np.sqrt(np.sum(C * C)))
+    if R0 == 0.0:
+        return float('inf')
+    L = C / R0
+    pd = L @ (d - D0[:, None])
+    lv = L @ (s - S0[:, None])
+    return float((np.max(np.abs(pd)) + np.max(np.abs(lv))) / R0)
 
 
 def _recentred_core(d, s, params, monochromatic):
@@ -443,7 +480,8 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
 
 def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                                 weights, dst_tile, src_chunk, sublanes,
-                                monochromatic, accumulate='mxu'):
+                                monochromatic, accumulate='mxu',
+                                interpret=False):
     """The recentred-phase Pallas kernel (see module notes above): per-pair
     work is plain f32 on small transverse offsets; all dd precision lives
     in O(N) per-point precomputations.  ~2x the throughput of the dd-phase
@@ -670,6 +708,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         out_specs=tuple([dst_spec] * 10),
         out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
                         for _ in range(10)),
+        interpret=interpret,
     )(pvec, *dsts, *srcs)
     sl = slice(0, Nd)
 
@@ -685,7 +724,8 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                               weights, dst_tile=128, src_chunk=2048,
                               sublanes=8, phase_mode='recentred',
-                              monochromatic=False, accumulate='mxu'):
+                              monochromatic=False, accumulate='mxu',
+                              interpret=False):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
     points per program), fori_loop over source chunks, with
     (dst_tile x src_chunk) 2D vector work per step.
@@ -699,7 +739,17 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
       'exact' — fully renormalized dd chain (~0.01 rad worst).
     *accumulate* ('recentred' only): 'mxu' (default) contracts the ten
     accumulators on the systolic array (bf16 terms, f32 sums); 'vpu'
-    keeps the all-f32 vector-unit multiply-accumulate."""
+    keeps the all-f32 vector-unit multiply-accumulate.
+
+    Validity envelope of 'mxu'/'mxu32'/'mxu-fast': the *direction*
+    integrals (not the fields) replace the per-pair 1/A weight with the
+    separable series c0(1 - e + e^2), e = (L.u - L.v)/R0, accurate to
+    ~e^3 — fine for |e| <= ~0.1 (:data:`SERIES_E_MAX`; e.g. a 300 mm
+    footprint at >= 1.5 m).  When called EAGERLY (concrete arrays) the
+    envelope is checked via :func:`recentred_series_e_max` and the call
+    falls back to the exact 'vpu' contraction with a warning; under jit
+    the check cannot branch — call :func:`recentred_series_e_max` on
+    your geometry once if in doubt, or pass accumulate='vpu'."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -712,9 +762,22 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     k = astuple(k)
     f32 = xd[0].dtype
     if phase_mode == 'recentred':
+        if accumulate.startswith('mxu') and not isinstance(
+                jnp.asarray(xd[0]), jax.core.Tracer):
+            e_max = recentred_series_e_max(xd, yd, zd, xs, ys, zs)
+            if e_max > SERIES_E_MAX:
+                import warnings
+                warnings.warn(
+                    f"recentred 'mxu' accumulation: geometry exceeds the "
+                    f"1/A-series envelope (e_max={e_max:.3f} > "
+                    f"{SERIES_E_MAX}); falling back to the exact 'vpu' "
+                    f"contraction for the direction integrals.",
+                    stacklevel=2)
+                accumulate = 'vpu'
         return _kirchhoff_pallas_recentred(
             xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights,
-            dst_tile, src_chunk, sublanes, monochromatic, accumulate)
+            dst_tile, src_chunk, sublanes, monochromatic, accumulate,
+            interpret=interpret)
 
     Nd = xd[0].shape[0]
     Ns = xs[0].shape[0]
