@@ -8,15 +8,27 @@ Workloads mirror the reference xrt speed tests (BASELINE.md):
 2. undulator source (tests/speed/2_*: shine of 1e5 rays around a harmonic,
    800-node far-field integral) — measured as shine time / rays/s;
 3. Kirchhoff diffraction (tests/speed/3_*: O(Nsrc x Ndst) integrals) —
-   measured as pair-interactions/s with double-float phases.
+   measured both as raw pair-interactions/s with double-float phases AND
+   as the full end-to-end SoftiMAX chain wall-clock (the reference speed
+   test 3 workload: 8 consecutive 2e5x2e5 integrals + 3 focal images,
+   tools/bench_softimax.py).
 
 vs_baseline (headline) is the WEAKEST of the GPU-relative ratios vs the
 reference's published 1-GPU numbers (BASELINE.md): undulator 1e5-ray shine
-20.6-25.7 s on a W9100; Kirchhoff ~1.8e10 pairs/s on one A100 f64
-(3.2e11 pairs / 17.5 s).  Extra keys give each workload's numbers plus the
-ray-trace rate vs the reference on this host's CPU (460913 rays/s
-single-core numpy, tools/bench_reference.py — the reference has no GPU ray
-tracing).
+20.6-25.7 s on a W9100; Kirchhoff: SoftiMAX chain 17.5 s on one A100 f64.
+Extra keys give each workload's numbers plus the ray-trace rate vs the
+reference on this host's CPU (460913 rays/s single-core numpy,
+tools/bench_reference.py — the reference has no GPU ray tracing).
+
+Measurement robustness: the chip is reached over a shared tunnel whose
+congestion can stretch any single timing window by >2x (round 2 captured
+13.7 G pairs/s in one window where the chip sustains ~35 G).  Every
+number here is therefore the BEST of >=4 timed windows, with the windows
+of all kernels interleaved round-robin (a congestion burst cannot sink
+all windows of one kernel), and sampling continues until the two fastest
+windows of every kernel agree within 5% — i.e. until the minimum is
+*reproducible*, which a congested window never is — or a generous time
+budget runs out.
 """
 import json
 import math
@@ -25,11 +37,50 @@ import time
 REFERENCE_RAYS_PER_S = 460913.0    # reference xrt, 1-core numpy, this host
 REFERENCE_UND_SHINE_S = 21.0       # reference, W9100 GPU (BASELINE.md #2)
 REFERENCE_KIRCHHOFF_PAIRS_S = 1.8e10   # reference, 1x A100 (BASELINE.md #3)
+REFERENCE_SOFTIMAX_S = 17.5        # reference chain, 1x A100 (BASELINE.md #3)
 
 
-def bench_trace():
+def robust_best(windows, min_rounds=4, max_rounds=12, rel_tol=0.05,
+                budget_s=420.0, verbose=False):
+    """Interleaved best-of-N timing harness.
+
+    *windows* is a dict name -> zero-arg callable that runs one fully
+    synchronized timed window and returns its elapsed seconds.  All
+    windows are run round-robin; after *min_rounds* rounds, sampling
+    stops as soon as, for every name, the two fastest windows agree
+    within *rel_tol* (a reproducible minimum — congestion windows are
+    never reproducible), else keeps going up to *max_rounds* rounds or
+    *budget_s* seconds.  Returns (best, spreads): name -> min elapsed
+    and name -> max/min ratio across windows (diagnostic).
+    """
+    times = {k: [] for k in windows}
+    t0 = time.time()
+    for rnd in range(max_rounds):
+        for k, f in windows.items():
+            times[k].append(f())
+        if rnd + 1 < min_rounds:
+            continue
+
+        def settled(ts):
+            s = sorted(ts)
+            return s[1] <= s[0] * (1.0 + rel_tol)
+
+        if all(settled(ts) for ts in times.values()):
+            break
+        if time.time() - t0 > budget_s:
+            break
+    if verbose:
+        for k, ts in times.items():
+            print(f'# {k}: ' + ' '.join(f'{t:.3f}' for t in ts))
+    best = {k: min(ts) for k, ts in times.items()}
+    spreads = {k: max(ts) / min(ts) for k, ts in times.items()}
+    return best, spreads
+
+
+def bench_trace(verbose=False):
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from xrt_tpu.histogram import hist2d
     from xrt_tpu.sources import GeometricSource
     from xrt_tpu.screens import Screen
@@ -62,26 +113,30 @@ def bench_trace():
         h = hist2d(img.x, img.z, w, 128, 128, (-1.0, 1.0), (-1.0, 1.0))
         return jnp.sum(h)  # scalar: minimal D2H over remote tunnels
 
-    import numpy as np
-    key = jax.random.PRNGKey(0)
-    float(np.asarray(step(key)))  # warm-up with forced materialization
+    key0 = jax.random.PRNGKey(0)
+    float(np.asarray(step(key0)))  # warm-up with forced materialization
     nrep = 4
-    best = float('inf')
-    for i in range(2):            # best-of-2: the tunnel queue is shared
+    state = {'key': key0}
+
+    def window():
         t0 = time.time()
         acc = 0.0
         for j in range(nrep):
-            key, sub = jax.random.split(key)
+            state['key'], sub = jax.random.split(state['key'])
             acc = acc + step(sub)   # device-side chain: every rep runs
         float(np.asarray(acc))
-        best = min(best, time.time() - t0)
-    return NRAYS * nrep / best
+        return time.time() - t0
+
+    best, spreads = robust_best({'trace': window}, verbose=verbose)
+    return NRAYS * nrep / best['trace'], spreads['trace']
 
 
-def bench_undulator():
+def bench_undulator(verbose=False):
     """Equivalent of the reference shine benchmark: 1e5 rays sampled around
     one harmonic with an ~800-node far-field integral per candidate."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
     from xrt_tpu.sources import Undulator
 
     und = Undulator.create(
@@ -96,21 +151,26 @@ def bench_undulator():
         # scalar digest: forces the full trace, ships 8 bytes
         return jnp.sum(b.x) + jnp.sum(b.E) + jnp.sum(b.Jss) + b.accepted
 
-    import jax.numpy as jnp
-    import numpy as np
-    key = jax.random.PRNGKey(1)
-    float(np.asarray(shine(key)))
+    key0 = jax.random.PRNGKey(1)
+    float(np.asarray(shine(key0)))
     nrep = 3
-    t0 = time.time()
-    s = 0.0
-    for i in range(nrep):
-        key, sub = jax.random.split(key)
-        s = s + shine(sub)
-    float(np.asarray(s))
-    return (time.time() - t0) / nrep
+    state = {'key': key0}
+
+    def window():
+        t0 = time.time()
+        s = 0.0
+        for i in range(nrep):
+            state['key'], sub = jax.random.split(state['key'])
+            s = s + shine(sub)
+        float(np.asarray(s))
+        return (time.time() - t0)
+
+    best, spreads = robust_best({'undulator': window}, verbose=verbose)
+    return best['undulator'] / nrep, spreads['undulator']
 
 
-def bench_kirchhoff():
+def bench_kirchhoff(verbose=False):
+    import functools
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -136,12 +196,13 @@ def bench_kirchhoff():
         # scalar digest of all five accumulators
         return sum(jnp.sum(o.real) + jnp.sum(o.imag) for o in out)
 
-    import functools
-    fn = jax.jit(functools.partial(wrapped, True, 'mxu'))
-    fn_poly = jax.jit(functools.partial(wrapped, False, 'mxu'))
-    fn_fast = jax.jit(functools.partial(wrapped, True, 'mxu-fast'))
-    # the production default ('mxu' accumulation, f32-class fields) is the
-    # headline; the single-pass bf16 variant ships as an extra key
+    fns = {
+        # the production default ('mxu' accumulation, f32-class fields) is
+        # the headline; bf16 single-pass and polychromatic are extra keys
+        'mono': jax.jit(functools.partial(wrapped, True, 'mxu')),
+        'poly': jax.jit(functools.partial(wrapped, False, 'mxu')),
+        'fast': jax.jit(functools.partial(wrapped, True, 'mxu-fast')),
+    }
     args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),
             t(rng.uniform(-1, 1, Nd)),
             t(rng.uniform(-50, 50, Ns)), t(rng.uniform(-1, 1, Ns)),
@@ -149,38 +210,80 @@ def bench_kirchhoff():
             jnp.ones(Ns, jnp.float32), jnp.zeros(Ns, jnp.float32),
             t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
             jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
-    def measure(f):
+    for f in fns.values():           # compile everything up front, once
         float(np.asarray(f(*args)))
-        nrep = 3
+    nrep = 2
+    counters = {k: [0] for k in fns}
+
+    def make_window(name, f):
+        def window():
+            t0 = time.time()
+            s = 0.0
+            for _ in range(nrep):
+                counters[name][0] += 1
+                # nudge an input so no layer can reuse a previous result
+                argsi = ((args[0][0] + np.float32(
+                    counters[name][0] * 1e-6), args[0][1]),) + args[1:]
+                s = s + f(*argsi)
+            float(np.asarray(s))
+            return time.time() - t0
+        return window
+
+    windows = {k: make_window(k, f) for k, f in fns.items()}
+    best, spreads = robust_best(windows, verbose=verbose)
+    rate = {k: Ns * Nd * nrep / v for k, v in best.items()}
+    return (rate['mono'], rate['poly'], rate['fast'],
+            max(spreads.values()))
+
+
+def bench_softimax(verbose=False):
+    """The full reference speed-test-3 chain (see tools/bench_softimax.py):
+    returns best-of-N wall-clock of one complete source->focus propagation
+    at 2e5 samples/wave."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    from bench_softimax import build_chain
+
+    run_chain = build_chain()
+    run_chain()                # warm-up: compiles every stage
+
+    def window():
         t0 = time.time()
-        s = 0.0
-        for i in range(nrep):
-            # nudge an input so no layer can reuse a previous result
-            argsi = ((args[0][0] + np.float32(i * 1e-6),
-                      args[0][1]),) + args[1:]
-            s = s + f(*argsi)
-        float(np.asarray(s))
-        return Ns * Nd / ((time.time() - t0) / nrep)
+        run_chain()
+        return time.time() - t0
 
-    return measure(fn), measure(fn_poly), measure(fn_fast)
+    best, spreads = robust_best({'softimax': window}, min_rounds=3,
+                                max_rounds=8, budget_s=300.0,
+                                verbose=verbose)
+    return best['softimax'], spreads['softimax']
 
 
-def main():
-    rays_per_s = bench_trace()
-    und_shine_s = bench_undulator()
+def main(verbose=False):
+    rays_per_s, trace_spread = bench_trace(verbose)
+    und_shine_s, und_spread = bench_undulator(verbose)
     (kirchhoff_pairs_s, kirchhoff_poly_pairs_s,
-     kirchhoff_fast_pairs_s) = bench_kirchhoff()
+     kirchhoff_fast_pairs_s, kir_spread) = bench_kirchhoff(verbose)
+    try:
+        softimax_s, softimax_spread = bench_softimax(verbose)
+    except Exception as e:  # the chain must never sink the whole bench
+        print(f'# softimax chain failed: {e!r}')
+        softimax_s, softimax_spread = None, None
     und_ratio = REFERENCE_UND_SHINE_S / und_shine_s
     kir_ratio = kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S
+    ratios = [und_ratio, kir_ratio]
+    if softimax_s is not None:
+        ratios.append(REFERENCE_SOFTIMAX_S / softimax_s)
     # headline = the WEAKEST GPU-relative ratio across the reference speed
     # workloads that have a published GPU number (BASELINE.md #2, #3) —
     # progress is measured against the hardest bar, not the most flattering
-    print(json.dumps({
+    out = {
         'metric': 'weakest GPU-relative speedup across reference speed '
                   'workloads (1 TPU v5e chip vs published 1-GPU numbers)',
-        'value': round(min(und_ratio, kir_ratio), 3),
+        'value': round(min(ratios), 3),
         'unit': 'x',
-        'vs_baseline': round(min(und_ratio, kir_ratio), 3),
+        'vs_baseline': round(min(ratios), 3),
         'kirchhoff_pairs_per_s': round(kirchhoff_pairs_s, 1),
         'kirchhoff_vs_A100_GPU_f64': round(kir_ratio, 3),
         'kirchhoff_polychromatic_pairs_per_s': round(
@@ -192,8 +295,17 @@ def main():
         'traced_rays_per_s': round(rays_per_s, 1),
         'trace_vs_reference_1core_numpy': round(
             rays_per_s / REFERENCE_RAYS_PER_S, 3),
-    }))
+        'window_spread_max': round(max(
+            s for s in (trace_spread, und_spread, kir_spread,
+                        softimax_spread) if s is not None), 2),
+    }
+    if softimax_s is not None:
+        out['softimax_chain_s'] = round(softimax_s, 2)
+        out['softimax_vs_A100_GPU_f64'] = round(
+            REFERENCE_SOFTIMAX_S / softimax_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    main(verbose='-v' in sys.argv)

@@ -40,8 +40,12 @@ def test_modes_pipeline(tmp_path):
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
     # dominant mode carries the largest weight
     assert w[-1] == w.max()
-    # with a small e-beam the 0th mode dominates
-    assert w[-1] > 0.3
+    # with a small e-beam the 0th mode dominates (threshold calibrated
+    # with the spherical propagation phase of the wave-mode shine
+    # included, which tilts filament wavefronts and genuinely lowers
+    # mutual coherence vs the pre-phase behavior)
+    assert w[-1] > 0.25
+    assert w[-1] > 1.2 * w[-2]
     # flux is positive and finite
     assert np.isfinite(float(fluxFields)) and float(fluxFields) > 0
 

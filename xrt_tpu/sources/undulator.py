@@ -570,6 +570,45 @@ class Undulator(_SynchrotronBase):
         norm = jnp.sqrt(wave_area) / rDiffr
         Es = mJs * norm
         Ep = mJp * norm
+        # spherical propagation phase to the receiving points — the
+        # reference far-field wave mode applies
+        # exp(1e7j*E/CHBAR*rDiffr) at the end of shine
+        # (sybase.py:1793-1797).  k*r is ~1e10 rad: float32 needs the
+        # double-float reduction to cycles
+        from ..physconsts import CHBAR
+        if dt == jnp.float32:
+            from ..ops import dd as _dd
+            xh, xl = _dd.add_f(wave.xDiffr,
+                               getattr(wave, 'xDiffr_lo', None)
+                               if wave.xDiffr_lo is not None
+                               else jnp.zeros_like(x), -rX)
+            yh = wave.yDiffr
+            yl = (wave.yDiffr_lo if wave.yDiffr_lo is not None
+                  else jnp.zeros_like(y))
+            zh, zl = _dd.add_f(wave.zDiffr,
+                               getattr(wave, 'zDiffr_lo', None)
+                               if wave.zDiffr_lo is not None
+                               else jnp.zeros_like(z), -rZ)
+            s2 = _dd.sqr(xh, xl)
+            s2 = _dd.add(*s2, *_dd.sqr(yh, yl))
+            s2 = _dd.add(*s2, *_dd.sqr(zh, zl))
+            rD = _dd.sqrt(*s2)
+            _KC = 1e7 / CHBAR
+            _KC_HI = np.float32(_KC)
+            _KC_LO = np.float32(_KC - np.float64(_KC_HI))
+            kh, kl = _dd.two_prod(rE, jnp.asarray(_KC_HI, dt))
+            kl = kl + rE * _KC_LO
+            kah, kal = _dd.mul(kh, kl,
+                               jnp.full_like(kh, _dd.INV_TWO_PI_HI),
+                               jnp.full_like(kh, _dd.INV_TWO_PI_LO))
+            mh, ml = _dd.mul(kah, kal, rD[0], rD[1])
+            cyc = _dd.frac_cycles(mh, ml)
+            sph, cph = _dd.sincos_cycles(cyc)
+            mPh = jax.lax.complex(cph, sph)
+        else:
+            mPh = jnp.exp(1j * (rE * (1e7 / CHBAR)) * rDiffr)
+        Es = Es * mPh
+        Ep = Ep * mPh
         return wave.replace(
             E=rE, Es=Es, Ep=Ep,
             a=x / rDiffr, b=y / rDiffr, c=z / rDiffr,

@@ -186,6 +186,39 @@ def _to_fromOE_local64(fromOE, x64, y64, z64):
     return x, y, z
 
 
+def _np_local_to_global64(oe, x64, y64, z64):
+    """Float64 numpy forward transform (positions only) matching
+    OE.local_to_global — the exact inverse of :func:`_to_fromOE_local64`.
+
+    Wave-receiving geometry MUST be computed in float64: global
+    coordinates are O(1e4) mm, so float32 rounding is ~1e-3 mm — hundreds
+    of wavelengths of *per-sample* phase noise, which turns a coherent
+    focus into speckle.  (The local surface coordinates themselves are
+    exact float32 values, so evaluating the transform on them in f64 is
+    consistent with the f32 arrays used device-side.)"""
+    x64 = np.asarray(x64, np.float64)
+    y64 = np.asarray(y64, np.float64)
+    z64 = np.asarray(z64, np.float64)
+    if hasattr(oe, 'braggAngle'):      # DCM: first crystal
+        pitch = float(oe.pitch + oe.braggAngle)
+        roll = float(oe.roll + oe.positionRoll + oe.cryst1roll)
+        yaw = float(oe.yaw)
+        x64 = x64 + float(oe.dxCryst)
+    else:
+        p_, r_, y_ = oe._placement()[0:3]
+        pitch, roll, yaw = float(p_), float(r_), float(y_)
+    if oe.extraPitch is not None:
+        x64, y64, z64 = _np_rotate_xyz(
+            x64, y64, z64, '-' + oe.extraRotationSequence,
+            pitch=float(oe.extraPitch), roll=float(oe.extraRoll),
+            yaw=float(oe.extraYaw))
+    x64, y64, z64 = _np_rotate_xyz(x64, y64, z64,
+                                   '-' + oe.rotationSequence,
+                                   pitch=pitch, roll=roll, yaw=yaw)
+    c = np.asarray(oe.center, np.float64)
+    return x64 + c[0], y64 + c[1], z64 + c[2]
+
+
 def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
     """Attach the receiving geometry to *wave* (cf. waves.py:505-584).
 
@@ -328,10 +361,16 @@ def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
         z = jax.random.uniform(k2, (nrays,), dt) * dZ + aperture.bottom
         area = dX * dZ
     y = jnp.zeros((nrays,), dt)
-    ex, ey, ez = aperture.ex, aperture.ey, aperture.ez
-    xglo = aperture.center[0] + x * ex[0] + y * ey[0] + z * ez[0]
-    yglo = aperture.center[1] + x * ex[1] + y * ey[1] + z * ez[1]
-    zglo = aperture.center[2] + x * ex[2] + y * ey[2] + z * ez[2]
+    # global sample coordinates in float64 (the f32 local samples are
+    # exact; see _np_local_to_global64 on why f32 globals are not enough)
+    x64 = np.asarray(x, np.float64)
+    z64 = np.asarray(z, np.float64)
+    c64 = np.asarray(aperture.center, np.float64)
+    ex64 = np.asarray(aperture.ex, np.float64)
+    ez64 = np.asarray(aperture.ez, np.float64)
+    xglo = c64[0] + x64 * ex64[0] + z64 * ez64[0]
+    yglo = c64[1] + x64 * ex64[1] + z64 * ez64[1]
+    zglo = c64[2] + x64 * ex64[2] + z64 * ez64[2]
     area = jnp.asarray(area, dt)
     wave = Wave(
         x=x, y=y, z=z,
@@ -459,8 +498,14 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
                         dS=jnp.ones((nsamples,), dt) * area / ngood,
                         state=jnp.where(good, 1, 0).astype(jnp.int32),
                         toOE=oe)
-    return prepare_wave(prevOE, wave, waveGlobal.x, waveGlobal.y,
-                        waveGlobal.z)
+    # global receiving coordinates in float64 (see _np_local_to_global64:
+    # f32 globals at O(1e4) mm would add ~1e-3 mm per-sample phase noise
+    # and destroy multi-hop coherence); the f32 local surface coordinates
+    # are exact inputs to the transform
+    gx, gy, gz = _np_local_to_global64(
+        oe, np.asarray(waveLocal.x), np.asarray(waveLocal.y),
+        np.asarray(waveLocal.z))
+    return prepare_wave(prevOE, wave, gx, gy, gz)
 
 
 # ---------------------------------------------------------------------------
@@ -677,6 +722,13 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
     a = (aEacc * toReal).real
     b = (bEacc * toReal).real
     c = (cEacc * toReal).real
+    # rescale to O(1) before normalizing: the gradient accumulators carry
+    # the field amplitude scale, and for flux-normalized sources
+    # (|Es| ~ 1e8) their squares overflow float32, which would zero the
+    # extracted directions (and with them the receiver projection)
+    mag = jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b)), jnp.abs(c))
+    maginv = jnp.where(mag > 0, 1.0 / mag, 0.0)
+    a, b, c = a * maginv, b * maginv, c * maginv
     norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
     norm = jnp.where(norm == 0, 1.0, norm)
     a, b, c = a / norm, b / norm, c / norm
@@ -793,6 +845,36 @@ def wave_to_global(wave: Wave) -> Beam:
         return glo.replace(x=gx, y=gy, z=gz)
     return glo.replace(x=glo.x + oe.center[0], y=glo.y + oe.center[1],
                        z=glo.z + oe.center[2])
+
+
+def rescale_field(beam: Beam, target_rms=1.0):
+    """(beam', log_scale): scale the field (Es, Ep and the coherency
+    matrix) so the RMS good-sample amplitude becomes *target_rms*.
+
+    The Kirchhoff chain is linear in the field but the reference's flux
+    bookkeeping makes |Es| grow by several orders of magnitude per OE hop
+    (the reference SoftiMAX chain reaches J ~ 1e39, beyond float32
+    range).  float32 chains therefore renormalize between stages and
+    undo the accumulated scale on the final result:
+
+        beam, ls = rescale_field(loc);  logs += ls
+        ...
+        J_true = J_final * exp(-2 * logs)   # in float64, on host
+
+    diffract()'s flux normalization is scale-invariant (SumJ/SumJnl
+    cancels), so rescaling the source beam of a diffract scales its
+    output field linearly — the chain stays exact."""
+    good = (beam.state == 1).astype(beam.Jss.dtype)
+    ng = jnp.maximum(jnp.sum(good), 1.0)
+    p2 = jnp.abs(beam.Es) ** 2 + jnp.abs(beam.Ep) ** 2
+    rms = jnp.sqrt(jnp.sum(jnp.where(good > 0, p2, 0.0)) / ng)
+    s = jnp.where(rms > 0, target_rms / rms, 1.0).astype(beam.Jss.dtype)
+    sc = s.astype(jnp.result_type(beam.Es))
+    out = beam.replace(
+        Es=beam.Es * sc, Ep=beam.Ep * sc,
+        Jss=beam.Jss * s * s, Jpp=beam.Jpp * s * s,
+        Jsp=beam.Jsp * (sc * sc))
+    return out, jnp.log(s)
 
 
 def qualify_sampling(wave: Wave, E, goodlen):
