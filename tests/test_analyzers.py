@@ -123,3 +123,45 @@ def test_bent_laue_cylinder_runs():
     assert np.isfinite(J).all()
     # the bent crystal passes a wider band than a flat plate
     assert J.mean() > 1e-5
+
+
+def test_diced_spherical_analyzer_tt_trace():
+    """End-to-end trace of a diced SPHERICALLY bent (Rm == Rs) analyzer
+    whose crystal uses the Takagi-Taupin amplitudes: the OE wires both
+    radii (self.Rm -> Ry, self.Rs -> Rx) into get_amplitude_pytte
+    (cf. reference materials.cl spherical-bent TT kernels
+    :1861-1953 driven from reflect).  A center-facet pencil scanned in
+    energy must reproduce the directly computed 2D-bent TT curve."""
+    from xrt_tpu.beam import new_beam
+    Rm = 2000.0
+    cr = xm.CrystalSi.create(hkl=(1, 1, 1), t=0.1, useTT=True)
+    thetaB = float(cr.get_Bragg_angle(E0))
+    p = 500.0
+    ana = DicedJohannToroid.create(
+        Rm=Rm, Rs=Rm, dxFacet=4.0, dyFacet=4.0, dxGap=0.05, dyGap=0.05,
+        center=(0, p, 0), pitch=thetaB, material=cr,
+        limPhysX=(-2, 2), limPhysY=(-2, 2))
+    n = 61
+    # energy scan at fixed incidence == rocking scan:
+    # theta - thetaB(E) = +tan(thetaB) * dE/E at fixed incidence
+    dE = np.linspace(-0.45, 0.9, n)
+    E = jnp.asarray(E0 + dE)
+    beam = new_beam(n, withAmplitudes=True).replace(E=E)
+    glo, loc = ana.reflect(beam, jax.random.PRNGKey(0))
+    good = np.asarray(loc.state) == 1
+    assert good.mean() > 0.9
+    R_traced = np.asarray(loc.Jss)
+    dth = np.tan(thetaB) * dE / E0
+    bIn = -jnp.sin(thetaB + jnp.asarray(dth))
+    rs, _ = cr.get_amplitude_pytte(jnp.full((n,), E0), bIn,
+                                   Ry=Rm, Rx=Rm, nsteps=4000)
+    R_direct = np.abs(np.asarray(rs)) ** 2
+    # the traced curve must be the 2D-bent TT curve (facet tilt at the
+    # center is < 1 mm / 2000 mm = 0.5 mrad -> small angular smearing)
+    assert np.allclose(R_traced[good], R_direct[good], atol=0.05)
+    # and must differ from the cylindrical (Rs=inf) curve, i.e. the
+    # sagittal radius actually reaches the solver
+    rs_cyl, _ = cr.get_amplitude_pytte(jnp.full((n,), E0), bIn,
+                                       Ry=Rm, Rx=math.inf, nsteps=4000)
+    R_cyl = np.abs(np.asarray(rs_cyl)) ** 2
+    assert np.abs(R_cyl - R_direct).max() > 0.02

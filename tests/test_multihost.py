@@ -1,0 +1,120 @@
+"""Two-process jax.distributed smoke test (VERDICT r2 item 5).
+
+Actually exercises the DCN/multi-process code path that `--multihost`
+claims: a coordinator and a worker process on localhost, each with 4
+virtual CPU devices, tracing the same beamline sharded over the global
+8-device mesh.  The psum'd flux must equal a single-process 8-device
+run — the TPU-native replacement for the reference's ZMQ remote kernel
+offload (myopencl.py:165-204) whose local-vs-remote results also had to
+agree.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import CLEAN_ENV
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MK_BL = r"""
+import jax
+import numpy as np
+import xrt_tpu.materials as xm
+from xrt_tpu.beamline import BeamLine
+from xrt_tpu.sources import GeometricSource
+from xrt_tpu.oes import ToroidMirror
+from xrt_tpu.screens import Screen
+import math
+bl = BeamLine(alignE=9000.0)
+src = GeometricSource.create(
+    nrays=8192, dx=0.1, dz=0.05, dxprime=3e-5, dzprime=3e-5,
+    distE='flat', energies=(8900.0, 9100.0), polarization='horizontal')
+bl.add('source', src)
+p, q, pitch = 10000.0, 2000.0, 4e-3
+mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+R = 2 * p * q / (p + q) / math.sin(pitch)
+r = 2 * p * q / (p + q) * math.sin(pitch)
+bl.add('mirror', ToroidMirror.create(center=(0, p, 0), pitch=pitch, R=R,
+                                     r=r, material=mat,
+                                     limPhysX=(-20, 20),
+                                     limPhysY=(-300, 300)))
+bl.add('screen', Screen.create(center=(0, p + q, 2 * pitch * q)))
+bl.propagate_flow(jax.random.PRNGKey(0))
+bl.export_to_json(r'%(path)s')
+print('WROTE')
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(('127.0.0.1', 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(ndev):
+    env = dict(CLEAN_ENV)
+    env['XLA_FLAGS'] = f'--xla_force_host_platform_device_count={ndev}'
+    return env
+
+
+def _flux_of(out):
+    m = re.search(r'flux=([0-9.eE+-]+)', out)
+    assert m, out
+    return float(m.group(1))
+
+
+@pytest.mark.slow
+def test_two_process_multihost(tmp_path):
+    blfile = str(tmp_path / 'bl.json')
+    r = subprocess.run([sys.executable, '-c', MK_BL % {'path': blfile}],
+                       capture_output=True, text=True, timeout=600,
+                       env=_env(1))
+    assert 'WROTE' in r.stdout, r.stdout + r.stderr
+
+    # single-process 8-device reference result
+    base = [sys.executable, '-m', 'xrt_tpu', 'trace', blfile,
+            '--multihost', '--repeats', '2', '--seed', '5']
+    r1 = subprocess.run(
+        base + ['--num-processes', '1', '--process-id', '0',
+                '--coordinator', f'127.0.0.1:{_free_port()}'],
+        capture_output=True, text=True, timeout=600, env=_env(8),
+        cwd=REPO)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    flux1 = _flux_of(r1.stdout)
+
+    # two processes x 4 devices over the distributed runtime
+    port = _free_port()
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            base + ['--num-processes', '2', '--process-id', str(pid),
+                    '--coordinator', f'127.0.0.1:{port}'],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env(4), cwd=REPO))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+    # every process reports the same global (psum'd) flux
+    fluxes = [_flux_of(out) for rc, out, err in outs
+              if 'flux=' in out]
+    assert fluxes, outs
+    for f in fluxes:
+        np.testing.assert_allclose(f, flux1, rtol=1e-5)
+    # the worker really joined: 8 global devices seen from process 0
+    assert 'process 0 of 2' in outs[0][1], outs[0][1]
+    assert '8 devices' in outs[0][1], outs[0][1]

@@ -84,6 +84,51 @@ def test_bent_laue_vs_pytte_golden():
                        g['laue_pi_R'].real, atol=1e-2)
 
 
+@pytest.mark.parametrize('bendtag,Rs_sign', [('_sph', 1.0), ('_acl', -1.0)])
+def test_bent_bragg_finite_Rs_vs_pytte_golden(bendtag, Rs_sign):
+    """2D-bent (finite sagittal radius) Bragg: spherical Rs=Rm and
+    anticlastic Rs=-Rm vs the reference pyTTE solver (the python twin of
+    the OpenCL spherical-bent kernels, materials.cl:1861-1953)."""
+    g = _gold()
+    scan = g['scan']
+    thetaB = float(g['thetaB'])
+    Rm = float(g['Rm_mm'])
+    E = jnp.full(scan.shape, float(g['E0']))
+    bIn = -jnp.sin(thetaB + jnp.asarray(scan))
+    si = CrystalSi.create(hkl=(1, 1, 1), t=float(g['t_mm']))
+    rs, rp = si.get_amplitude_pytte(E, bIn, Ry=Rm, Rx=Rs_sign * Rm,
+                                    alphaAsym=0.0, nsteps=4000)
+    assert np.allclose(np.abs(np.asarray(rs)) ** 2,
+                       g[f'bragg_sigma{bendtag}_R'], atol=1e-4)
+    assert np.allclose(np.abs(np.asarray(rp)) ** 2,
+                       g[f'bragg_pi{bendtag}_R'], atol=1e-4)
+
+
+@pytest.mark.parametrize('bendtag,Rs_sign', [('_sph', 1.0), ('_acl', -1.0)])
+def test_bent_laue_finite_Rs_vs_pytte_golden(bendtag, Rs_sign):
+    """2D-bent Laue (spherical / anticlastic) vs the reference pyTTE
+    solver — exercises the c2 (sagittal curvature) strain term that the
+    cylindrical goldens cannot see."""
+    g = _gold()
+    scan = g['scan']
+    thetaB = float(g['thetaB'])
+    Rm = float(g['Rm_mm'])
+    E = jnp.full(scan.shape, float(g['E0']))
+    th = thetaB + jnp.asarray(scan)
+    bIn = -jnp.cos(th)
+    bOut = -jnp.cos(th)
+    bInH = jnp.sin(th)
+    si = CrystalSi.create(hkl=(1, 1, 1), t=float(g['t_mm']),
+                          geom='Laue reflected')
+    rs, rp = si.get_amplitude_pytte(E, bIn, bOut, bInH, Ry=Rm,
+                                    Rx=Rs_sign * Rm, alphaAsym=0.0,
+                                    nsteps=8000)
+    assert np.allclose(np.abs(np.asarray(rs)) ** 2,
+                       g[f'laue_sigma{bendtag}_R'].real, atol=1e-2)
+    assert np.allclose(np.abs(np.asarray(rp)) ** 2,
+                       g[f'laue_pi{bendtag}_R'].real, atol=1e-2)
+
+
 def test_bending_broadens_and_boosts_integrated_reflectivity():
     si = CrystalSi.create(hkl=(1, 1, 1), t=0.1)
     E = jnp.full((151,), 9000.0)
