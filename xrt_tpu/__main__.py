@@ -102,6 +102,12 @@ def main(argv=None):
         if c == 'serve':
             s.add_argument('--port', type=int, default=0)
             s.add_argument('--host', default='127.0.0.1')
+            s.add_argument('--ui', action='store_true',
+                           help='serve the browser control page (element '
+                                'tree + live 3D view + detector '
+                                'histogram; the Qook/Glow capability '
+                                'analog) instead of the JSON-lines TCP '
+                                'protocol')
     args = ap.parse_args(argv)
 
     if args.cmd == 'calc':
@@ -183,12 +189,22 @@ def main(argv=None):
         return 0
 
     if args.cmd == 'serve':
-        from .server import BeamLineServer
-        srv = BeamLineServer(
-            bl, trace_fn=lambda elements: _trace_summary(bl),
-            host=args.host, port=args.port).start()
-        print(f'serving beamline on {srv.host}:{srv.port} '
-              '(JSON lines: list/get/set/acquire/shutdown)')
+        import jax
+        if args.ui:
+            from .flow import record_flow
+            from .webui import WebUI
+            with record_flow(bl) as flow:
+                bl.propagate_flow(jax.random.PRNGKey(0))
+            srv = WebUI(bl, flow, host=args.host, port=args.port).start()
+            print(f'beamline UI on http://{srv.host}:{srv.port}/ '
+                  '(element tree + 3D view + live histogram)')
+        else:
+            from .server import BeamLineServer
+            srv = BeamLineServer(
+                bl, trace_fn=lambda elements: _trace_summary(bl),
+                host=args.host, port=args.port).start()
+            print(f'serving beamline on {srv.host}:{srv.port} '
+                  '(JSON lines: list/get/set/acquire/shutdown)')
         try:
             srv._thread.join()
         except KeyboardInterrupt:

@@ -1,0 +1,401 @@
+"""Interactive beamline control in the browser — the capability analog of
+the reference's GUI pair: xrtQook's parameter-editing element tree
+(xrt/gui/xrtQook/widgets/qookbase.py:2-31) and xrtGlow's live 3D view
+with refreshing footprints (xrt/gui/xrtGlow/widgets/main.py) — with no
+GUI toolkit: a stdlib HTTP server and one self-contained HTML page.
+
+    python -m xrt_tpu serve beamline.json --ui
+
+opens an editable element tree (every numeric create() parameter of
+every element), a rotatable 3D beamline view, and a live detector
+histogram; editing a parameter re-runs the dirty part of the recorded
+flow (flow.replay) and refreshes both — the browser twin of the EPICS
+AutoUpdate mode served by server.py.
+
+Endpoints (JSON):
+    GET  /api/elements          {name: {param: value}}
+    GET  /api/beams             [beam keys in flow order]
+    GET  /api/hist?beam=K       2D histogram + flux/centroid/FWHM readouts
+    GET  /api/scene             glow wireframes + ray segments
+    POST /api/set               {"element","param","value"} -> re-trace
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+import jax.numpy as jnp
+
+from .server import _params_of
+from .glow import build_scene
+
+
+def _beam_of(val):
+    b = val[0] if isinstance(val, tuple) else val
+    return b if hasattr(b, 'state') else None
+
+
+def _fwhm(x, w):
+    if w.sum() <= 0:
+        return 0.0
+    h, edges = np.histogram(x, bins=128, weights=w)
+    if h.max() <= 0:
+        return 0.0
+    above = np.nonzero(h > h.max() / 2)[0]
+    return float((above[-1] - above[0] + 1) * (edges[1] - edges[0]))
+
+
+class WebUI:
+    """HTTP wrapper around a beamline + recorded flow."""
+
+    def __init__(self, bl, flow, host='127.0.0.1', port=0, bins=80,
+                 maxRays=150):
+        self.bl = bl
+        self.flow = flow
+        self.elements = dict(bl._elements)
+        self.bins = bins
+        self.maxRays = maxRays
+        self._repl: Dict[str, object] = {}
+        self._lock = threading.Lock()
+        self._results = flow.replay()
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):        # quiet
+                pass
+
+            def _send(self, payload, ctype='application/json', code=200):
+                body = payload if isinstance(payload, bytes) else \
+                    json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header('Content-Type', ctype)
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                try:
+                    u = urlparse(self.path)
+                    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                    if u.path == '/':
+                        self._send(ui.page().encode(),
+                                   'text/html; charset=utf-8')
+                    elif u.path == '/api/elements':
+                        self._send(ui.api_elements())
+                    elif u.path == '/api/beams':
+                        self._send(ui.api_beams())
+                    elif u.path == '/api/hist':
+                        self._send(ui.api_hist(q.get('beam')))
+                    elif u.path == '/api/scene':
+                        self._send(ui.api_scene())
+                    else:
+                        self._send({'error': 'not found'}, code=404)
+                except Exception as e:
+                    self._send({'error': f'{type(e).__name__}: {e}'},
+                               code=500)
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get('Content-Length', 0))
+                    req = json.loads(self.rfile.read(n) or b'{}')
+                    if urlparse(self.path).path == '/api/set':
+                        self._send(ui.api_set(req['element'],
+                                              req['param'],
+                                              req['value']))
+                    else:
+                        self._send({'error': 'not found'}, code=404)
+                except Exception as e:
+                    self._send({'error': f'{type(e).__name__}: {e}'},
+                               code=500)
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.server.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    # -- api ------------------------------------------------------------
+    def api_elements(self):
+        with self._lock:
+            return {name: _params_of(el)
+                    for name, el in self.elements.items()}
+
+    def _beams(self):
+        out = {}
+        for key, val in self._results.items():
+            if key.startswith('~'):
+                continue
+            b = _beam_of(val)
+            if b is not None:
+                out[key] = b
+        return out
+
+    def api_beams(self):
+        with self._lock:
+            return list(self._beams())
+
+    def api_set(self, name, param, value):
+        with self._lock:
+            el = self.elements[name]
+            cur = getattr(el, param)
+            val = jnp.asarray(value, getattr(cur, 'dtype', None))
+            new = el.replace(**{param: val})
+            self.elements[name] = new
+            self.bl.update(name, new)
+            self._repl[name] = new
+            self._results = self.flow.replay(replace=self._repl)
+            return {'ok': True}
+
+    def api_hist(self, beam_key=None):
+        with self._lock:
+            beams = self._beams()
+            if not beams:
+                return {'error': 'no beams'}
+            if beam_key is None or beam_key not in beams:
+                beam_key = list(beams)[-1]
+            b = beams[beam_key]
+            good = np.asarray(b.state) == 1
+            x = np.asarray(b.x)
+            z = np.asarray(b.z)
+            w = np.where(good, np.asarray(b.Jss) + np.asarray(b.Jpp), 0.0)
+            tot = float(w.sum())
+            if tot > 0 and good.sum() > 1:
+                xg, zg, wg = x[good], z[good], w[good]
+                cx = float((xg * wg).sum() / tot)
+                cz = float((zg * wg).sum() / tot)
+                sx = max(np.percentile(np.abs(xg - cx), 98) * 1.3, 1e-9)
+                sz = max(np.percentile(np.abs(zg - cz), 98) * 1.3, 1e-9)
+                rng = [[cx - sx, cx + sx], [cz - sz, cz + sz]]
+                h, xe, ze = np.histogram2d(xg, zg, bins=self.bins,
+                                           range=rng, weights=wg)
+                fx = _fwhm(xg, wg)
+                fz = _fwhm(zg, wg)
+            else:
+                h = np.zeros((self.bins, self.bins))
+                xe = ze = np.linspace(-1, 1, self.bins + 1)
+                cx = cz = fx = fz = 0.0
+            hmax = h.max() or 1.0
+            return {
+                'beam': beam_key,
+                'h': np.round(h.T / hmax, 4).tolist(),   # rows = z
+                'extent': [float(xe[0]), float(xe[-1]),
+                           float(ze[0]), float(ze[-1])],
+                'flux': tot, 'nGood': int(good.sum()),
+                'cx': cx, 'cz': cz, 'fwhm_x': fx, 'fwhm_z': fz,
+            }
+
+    def api_scene(self):
+        with self._lock:
+            return build_scene(elements=self.elements,
+                               beams=self._beams(),
+                               maxRays=self.maxRays)
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self.server.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.server.shutdown()
+        self.server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # -- the page --------------------------------------------------------
+    def page(self):
+        return _PAGE.replace('__TITLE__',
+                             getattr(self.bl, 'name', '') or 'beamline')
+
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__ — xrt_tpu</title>
+<style>
+ body { margin:0; display:flex; height:100vh; background:#101018;
+        color:#ddd; font:13px sans-serif; }
+ #tree { width:270px; overflow-y:auto; padding:8px;
+         background:#181824; border-right:1px solid #333; }
+ #tree h3 { margin:4px 0 8px; font-size:14px; color:#8cf; }
+ details { margin-bottom:6px; }
+ summary { cursor:pointer; color:#fc6; }
+ .prow { display:flex; justify-content:space-between; margin:2px 0 2px
+         12px; }
+ .prow label { color:#aaa; margin-right:6px; }
+ .prow input { width:110px; background:#0c0c14; color:#cfc;
+               border:1px solid #444; font:12px monospace; }
+ #main { flex:1; display:flex; flex-direction:column; }
+ #view3d { flex:1.1; position:relative; }
+ #view3d canvas { position:absolute; inset:0; }
+ #histrow { flex:1; display:flex; border-top:1px solid #333; }
+ #histwrap { position:relative; }
+ #hist { image-rendering:pixelated; background:#000; }
+ #readouts { padding:10px; min-width:210px; }
+ #readouts div { margin:4px 0; }
+ #readouts .v { color:#8f8; font-family:monospace; }
+ select { background:#0c0c14; color:#ddd; border:1px solid #444; }
+ #status { color:#f88; }
+</style></head><body>
+<div id="tree"><h3>__TITLE__</h3><div id="els"></div>
+ <div id="status"></div></div>
+<div id="main">
+ <div id="view3d"><canvas id="c3d"></canvas></div>
+ <div id="histrow">
+  <div id="histwrap"><canvas id="hist" width="480" height="480"></canvas>
+  </div>
+  <div id="readouts">
+   <div>beam <select id="beamsel"></select></div>
+   <div>flux <span class="v" id="flux"></span></div>
+   <div>nGood <span class="v" id="ngood"></span></div>
+   <div>center <span class="v" id="cen"></span> mm</div>
+   <div>FWHM <span class="v" id="fwhm"></span> mm</div>
+  </div>
+ </div>
+</div>
+<script>
+const $ = id => document.getElementById(id);
+async function jget(u) { const r = await fetch(u); return r.json(); }
+async function jpost(u, body) {
+  const r = await fetch(u, {method:'POST', body:JSON.stringify(body)});
+  return r.json(); }
+
+// ---- element tree ----
+async function buildTree() {
+  const els = await jget('/api/elements');
+  const root = $('els'); root.innerHTML = '';
+  for (const [name, params] of Object.entries(els)) {
+    const d = document.createElement('details');
+    const s = document.createElement('summary'); s.textContent = name;
+    d.appendChild(s);
+    for (const [p, v] of Object.entries(params)) {
+      if (Array.isArray(v)) continue;           // vectors read-only
+      const row = document.createElement('div'); row.className = 'prow';
+      const lab = document.createElement('label'); lab.textContent = p;
+      const inp = document.createElement('input');
+      inp.value = Number(v).toPrecision(8);
+      inp.onchange = async () => {
+        $('status').textContent = 'tracing...';
+        const r = await jpost('/api/set',
+          {element: name, param: p, value: parseFloat(inp.value)});
+        $('status').textContent = r.error || '';
+        refresh();
+      };
+      row.appendChild(lab); row.appendChild(inp); d.appendChild(row);
+    }
+    root.appendChild(d);
+  }
+}
+
+// ---- histogram ----
+const turbo = t => {     // compact inferno-like colormap
+  const r = Math.min(255, 255*Math.pow(t,0.5)*1.3);
+  const g = Math.max(0, 255*(t*t*1.2-0.08));
+  const b = t < 0.45 ? 255*(0.25+t) : 255*Math.max(0, 1.8-2.4*t);
+  return [r|0, g|0, Math.max(0,b)|0];
+};
+async function drawHist() {
+  const sel = $('beamsel');
+  const q = sel.value ? ('?beam=' + encodeURIComponent(sel.value)) : '';
+  const d = await jget('/api/hist' + q);
+  if (d.error) { $('status').textContent = d.error; return; }
+  if (!sel.options.length) {
+    const beams = await jget('/api/beams');
+    beams.forEach(b => {
+      const o = document.createElement('option');
+      o.value = o.textContent = b; sel.appendChild(o); });
+    sel.value = d.beam;
+    sel.onchange = drawHist;
+  }
+  const n = d.h.length, cv = $('hist'), ctx = cv.getContext('2d');
+  const img = ctx.createImageData(n, n);
+  for (let i = 0; i < n; i++)          // rows = z, bottom-up
+    for (let j = 0; j < n; j++) {
+      const c = turbo(d.h[n-1-i][j]);
+      const k = 4*(i*n+j);
+      img.data[k]=c[0]; img.data[k+1]=c[1]; img.data[k+2]=c[2];
+      img.data[k+3]=255;
+    }
+  const off = new OffscreenCanvas(n, n);
+  off.getContext('2d').putImageData(img, 0, 0);
+  ctx.imageSmoothingEnabled = false;
+  ctx.clearRect(0,0,cv.width,cv.height);
+  ctx.drawImage(off, 0, 0, cv.width, cv.height);
+  $('flux').textContent = d.flux.toExponential(3);
+  $('ngood').textContent = d.nGood;
+  $('cen').textContent = d.cx.toPrecision(4)+', '+d.cz.toPrecision(4);
+  $('fwhm').textContent =
+    d.fwhm_x.toPrecision(3)+' x '+d.fwhm_z.toPrecision(3);
+}
+
+// ---- 3D view (glow) ----
+let SCENE = null, yaw=0.6, pit=0.35, zoom=null, panX=0, panY=0;
+const c3 = $('c3d'), ctx3 = c3.getContext('2d');
+let W, H;
+function resize3() {
+  const r = $('view3d').getBoundingClientRect();
+  W = c3.width = r.width; H = c3.height = r.height; draw3();
+}
+onresize = resize3;
+let ctr=[0,0,0], span=1;
+function setBounds() {
+  let mn=[1e30,1e30,1e30], mx=[-1e30,-1e30,-1e30];
+  const acc = p => { for (let k=0;k<3;k++) {
+    mn[k]=Math.min(mn[k],p[k]); mx[k]=Math.max(mx[k],p[k]); } };
+  SCENE.elements.forEach(e=>e.lines.forEach(l=>l.forEach(acc)));
+  SCENE.segments.forEach(s=>s.p.forEach(pr=>pr.forEach(acc)));
+  ctr=[0,1,2].map(k=>(mn[k]+mx[k])/2);
+  span=Math.max(mx[0]-mn[0],mx[1]-mn[1],mx[2]-mn[2],1e-9);
+  if (zoom === null) zoom = 0.9/span;
+}
+function proj(p) {
+  const x=p[0]-ctr[0], y=p[1]-ctr[1], z=p[2]-ctr[2];
+  const cy=Math.cos(yaw), sy=Math.sin(yaw);
+  const cp=Math.cos(pit), sp=Math.sin(pit);
+  const X = cy*y - sy*x, Y0 = cy*x + sy*y, Y = cp*z - sp*Y0;
+  return [W/2 + X*zoom*W*0.9 + panX, H/2 - Y*zoom*W*0.9 + panY];
+}
+function draw3() {
+  if (!SCENE) return;
+  ctx3.clearRect(0,0,W,H);
+  SCENE.segments.forEach(s => {
+    for (let i=0;i<s.p.length;i++) {
+      const a=proj(s.p[i][0]), b=proj(s.p[i][1]), c=s.rgb[i];
+      ctx3.strokeStyle = `rgba(${255*c[0]|0},${255*c[1]|0},` +
+        `${255*c[2]|0},${s.good[i] ? 0.5 : 0.07})`;
+      ctx3.beginPath(); ctx3.moveTo(a[0],a[1]); ctx3.lineTo(b[0],b[1]);
+      ctx3.stroke();
+    }
+  });
+  SCENE.elements.forEach(e => {
+    ctx3.strokeStyle = e.color; ctx3.globalAlpha = 0.9;
+    e.lines.forEach(l => {
+      ctx3.beginPath();
+      l.forEach((p,i) => { const q=proj(p);
+        i ? ctx3.lineTo(q[0],q[1]) : ctx3.moveTo(q[0],q[1]); });
+      ctx3.stroke();
+    });
+    const q = proj(e.lines[0][0]);
+    ctx3.fillStyle = e.color; ctx3.fillText(e.name, q[0]+4, q[1]-4);
+    ctx3.globalAlpha = 1;
+  });
+}
+let drag=null;
+c3.onmousedown = e => drag=[e.clientX,e.clientY,e.shiftKey];
+onmouseup = () => drag=null;
+onmousemove = e => { if (!drag) return;
+  const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
+  if (drag[2]) { panX+=dx; panY+=dy; }
+  else { yaw+=dx*0.008; pit+=dy*0.008; }
+  drag=[e.clientX,e.clientY,drag[2]]; draw3(); };
+c3.onwheel = e => { zoom *= Math.exp(-e.deltaY*0.001); draw3();
+  e.preventDefault(); };
+
+async function drawScene() {
+  SCENE = await jget('/api/scene'); setBounds(); draw3();
+}
+async function refresh() { await Promise.all([drawHist(), drawScene()]); }
+buildTree(); resize3(); refresh();
+</script></body></html>
+"""
