@@ -61,3 +61,27 @@ def test_rocking_curve_darwin_plateau():
     # plateau width (Darwin width ~ 20-30 urad here)
     width = (Rs > 0.5).sum() * (dth[1] - dth[0])
     assert 15 < width < 60
+
+
+def test_rocking_scan_sweep(tmp_path):
+    """xrtBentXtal-style sweep: overlaid flat/bent rocking curves in one
+    CLI call with PNG output (reference gui/xrtBentXtal.py:3-27)."""
+    png = str(tmp_path / 'sweep.png')
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(['calc', 'rocking', '--material', 'Si', '--hkl', '111',
+                   '--E', '9000', '--tc', '0.1',
+                   '--scan', 'R=inf,2000,500',
+                   '--dtheta=-50:150:120', '--save', png])
+    assert rc == 0
+    out = buf.getvalue()
+    headers = [l for l in out.splitlines() if l.startswith('#') and
+               'FWHM' in l]
+    assert len(headers) == 3
+    import re
+    fwhms = [float(re.search(r'FWHM=([0-9.e+-]+)', h).group(1))
+             for h in headers]
+    # bending broadens the curve monotonically: flat < R=2000 < R=500
+    assert fwhms[0] < fwhms[1] < fwhms[2]
+    import os
+    assert os.path.exists(png) and os.path.getsize(png) > 10000

@@ -72,3 +72,51 @@ def test_png_export(tmp_path):
     data = open(out, 'rb').read()
     assert data[:8] == b'\x89PNG\r\n\x1a\n'
     assert len(data) > 10000
+
+
+def test_scan_player(tmp_path):
+    """bl.glow(scan=...) writes a play-slider HTML whose frames move with
+    the swept parameter (reference xrtGlow scan player,
+    gui/xrtGlow/widgets/scan.py)."""
+    import json as _json
+    import math
+    import jax
+    import xrt_tpu.materials as xm
+    from xrt_tpu.beamline import BeamLine
+    from xrt_tpu.oes import ToroidMirror
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.sources import GeometricSource
+    P, Q, PITCH = 10000.0, 2000.0, 4e-3
+    bl = BeamLine(alignE=9000.0)
+    bl.add('source', GeometricSource.create(
+        nrays=500, dx=0.1, dz=0.05, dxprime=3e-5, dzprime=3e-5,
+        distE='flat', energies=(8900.0, 9100.0),
+        polarization='horizontal'))
+    mat = xm.Material.create('Si', rho=2.33, kind='mirror')
+    R = 2 * P * Q / (P + Q) / math.sin(PITCH)
+    r = 2 * P * Q / (P + Q) * math.sin(PITCH)
+    bl.add('mirror', ToroidMirror.create(
+        center=(0, P, 0), pitch=PITCH, R=R, r=r, material=mat,
+        limPhysX=(-20, 20), limPhysY=(-300, 300)))
+    bl.add('screen', Screen.create(center=(0, P + Q, 2 * PITCH * Q)))
+    fn = str(tmp_path / 'scan.html')
+    out = bl.glow(scan={'element': 'mirror', 'param': 'pitch',
+                        'values': [PITCH, PITCH + 3e-4, PITCH + 6e-4]},
+                  save=fn, maxRays=50)
+    assert out == fn
+    html = open(fn).read()
+    assert 'SCENES' in html and 'id="play"' in html
+    scenes = _json.loads(
+        html.split('const SCENES = ')[1].split(';\n')[0])
+    labels = _json.loads(
+        html.split('const LABELS = ')[1].split(';\n')[0])
+    assert len(scenes) == 3 and len(labels) == 3
+    assert 'mirror.pitch' in labels[0]
+    # the post-mirror ray segments move up as the pitch grows
+    def mean_end_z(scene):
+        seg = [s for s in scene['segments'] if s['to'].startswith(
+            'screen')][0]
+        import numpy as np
+        return np.mean([p[1][2] for p in seg['p']])
+    z0, z2 = mean_end_z(scenes[0]), mean_end_z(scenes[2])
+    assert z2 - z0 > 1.0, (z0, z2)

@@ -57,6 +57,14 @@ def main(argv=None):
     calc.add_argument('--nu', type=float, default=None,
                       help='isotropic Poisson ratio (default: anisotropic '
                            'elastic constants by crystal name)')
+    calc.add_argument('--scan', default=None,
+                      help="sweep a bending parameter over values and "
+                           "overlay the rocking curves: 'R=inf,2000,500' "
+                           "or 'R=500:4000:4' or 'Rs=...' or 'tc=...' "
+                           "(the reference xrtBentXtal app's core use)")
+    calc.add_argument('--save', default=None,
+                      help='save the (overlaid) rocking curves to this '
+                           'PNG instead of printing CSV only')
 
     # run a reference xrtQook project file directly
     qk = sub.add_parser(
@@ -343,13 +351,94 @@ def _calc(args):
             else:
                 rs, rp = cr.get_amplitude(E_, g0, gh, hns0)[0:2]
             return jnp.abs(rs) ** 2, jnp.abs(rp) ** 2
-        Rs, Rp = rock(jnp.asarray(th))
-        tag = (f', TT bent Ry={args.R} mm Rs={args.Rs} mm' if bent else '')
-        print('# dtheta(urad), |rs|^2, |rp|^2   '
-              f'[{args.material}{args.hkl} {args.geom} at E={E0} eV, '
-              f'thetaB={math.degrees(thetaB):.4f} deg{tag}]')
-        for a, b, c in zip(dth * 1e6, np.asarray(Rs), np.asarray(Rp)):
-            print(f'{a:.6g}, {b:.6g}, {c:.6g}')
+        if args.scan:
+            # xrtBentXtal-style parameter sweep: overlaid rocking curves
+            # for a list/range of bending radii or thicknesses
+            # (gui/xrtBentXtal.py:3-27)
+            pname, spec = (s.strip() for s in args.scan.split('='))
+            if pname not in ('R', 'Rs', 'tc'):
+                raise SystemExit(f'--scan parameter must be R, Rs or tc '
+                                 f'(got {pname!r})')
+            if ':' in spec:
+                lo, hi, n = spec.split(':')
+                vals = list(np.linspace(float(lo), float(hi), int(n)))
+            else:
+                vals = [float('inf') if v.strip() in ('inf', 'flat')
+                        else float(v) for v in spec.split(',')]
+        else:
+            pname, vals = None, [None]
+
+        curves = []
+        for v in vals:
+            Ry_v = args.R
+            Rx_v = args.Rs
+            cr_v = cr
+            if pname == 'R':
+                Ry_v = v
+            elif pname == 'Rs':
+                Rx_v = v
+            elif pname == 'tc':
+                cr_v = cr.replace(t=jnp.asarray(v, jnp.asarray(1.0).dtype))
+            bent_v = (Ry_v is not None and np.isfinite(Ry_v)) or \
+                     (Rx_v is not None and np.isfinite(Rx_v))
+
+            @jax.jit
+            def rock_v(th, cr_v=cr_v, Ry_v=Ry_v, Rx_v=Rx_v,
+                       bent_v=bent_v):
+                g0 = -jnp.sin(th + alpha)
+                gh = jnp.sin(th - alpha) \
+                    if not cr_v.geom.startswith('L') else \
+                    -jnp.sin(th - alpha)
+                hns0 = -jnp.sin(th)
+                E_ = jnp.full(th.shape, E0)
+                if bent_v:
+                    rs_, rp_ = cr_v.get_amplitude_TT(
+                        E_, g0, gh, hns0, alphaAsym=alpha,
+                        Ry=Ry_v if Ry_v is not None else float('inf'),
+                        Rx=Rx_v if Rx_v is not None
+                        else float('inf'))[0:2]
+                else:
+                    rs_, rp_ = cr_v.get_amplitude(E_, g0, gh, hns0)[0:2]
+                return jnp.abs(rs_) ** 2, jnp.abs(rp_) ** 2
+            Rs_c, Rp_c = (np.asarray(a) for a in rock_v(jnp.asarray(th)))
+            label = '' if v is None else (
+                f'{pname}=flat' if not np.isfinite(v)
+                else f'{pname}={v:g} mm')
+            curves.append((label, v, Rs_c, Rp_c))
+
+        step = (dth[1] - dth[0]) * 1e6 if len(dth) > 1 else 1.0
+        for label, v, Rs_c, Rp_c in curves:
+            bent_tag = label or (f'TT bent Ry={args.R} Rs={args.Rs} mm'
+                                 if bent else 'flat (2-beam)')
+            fwhm = float((Rs_c > Rs_c.max() / 2).sum() * step)
+            integ = float(Rs_c.sum() * step)
+            print('# dtheta(urad), |rs|^2, |rp|^2   '
+                  f'[{args.material}{args.hkl} {args.geom} at E={E0} eV, '
+                  f'thetaB={math.degrees(thetaB):.4f} deg, {bent_tag}; '
+                  f's: FWHM={fwhm:.3g} urad, integrated={integ:.4g} urad]')
+            for a, b, c in zip(dth * 1e6, Rs_c, Rp_c):
+                print(f'{a:.6g}, {b:.6g}, {c:.6g}')
+        if args.save:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(7, 5))
+            for i, (label, v, Rs_c, Rp_c) in enumerate(curves):
+                col = f'C{i}'
+                fwhm = float((Rs_c > Rs_c.max() / 2).sum() * step)
+                ax.plot(dth * 1e6, Rs_c, col, label=(label or 'curve') +
+                        f' s (FWHM {fwhm:.3g} urad)')
+                ax.plot(dth * 1e6, Rp_c, col + '--', alpha=0.6,
+                        label=(label or 'curve') + ' p')
+            ax.set_xlabel(r'$\theta-\theta_B$ ($\mu$rad)')
+            ax.set_ylabel('reflectivity')
+            ax.set_title(f'{args.material}{args.hkl} {args.geom} '
+                         f'E={E0:g} eV'
+                         + (f', scan {pname}' if pname else ''))
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            fig.savefig(args.save, dpi=120)
+            print(f'# saved {args.save}')
         return 0
 
     mat = xm.Material.create(elements, quantities=quantities, rho=args.rho,

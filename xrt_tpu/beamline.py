@@ -290,14 +290,35 @@ class BeamLine:
             globalBeams[name] = beam
         return beams
 
-    def glow(self, beams=None, save='glow.html', maxRays=200):
+    def glow(self, beams=None, save='glow.html', maxRays=200, scan=None,
+             flow=None, key=None):
         """Headless 3D view of the beamline layout and traced beams — the
         capability analog of the reference's ``bl.glow()`` Qt/OpenGL viewer
         (beamline.py:888, gui/xrtGlow).  Writes a standalone interactive
         HTML file (or a PNG if *save* ends with '.png') and returns the
         file name.  *beams*: an ordered {name: Beam} of global beams, e.g.
-        from :meth:`propagate_flow`."""
+        from :meth:`propagate_flow`.
+
+        *scan*: ``{'element': name, 'param': field, 'values': [...]}``
+        animates a parameter sweep with a play slider (the reference's
+        xrtGlow scan player, gui/xrtGlow/widgets/scan.py): each frame is
+        a dirty-aware flow replay at one value.  Pass a recorded *flow*
+        (xrt_tpu.flow.record_flow) or one is recorded here with *key*."""
         from . import glow as _glow
+        if scan is not None:
+            if flow is None:
+                import jax
+                from .flow import record_flow
+                with record_flow(self) as flow:
+                    self.propagate_flow(
+                        jax.random.PRNGKey(0) if key is None else key)
+            frames = _glow.build_scan_frames(
+                self, flow, scan['element'], scan['param'],
+                scan['values'], maxRays=maxRays)
+            return _glow.export_scan_html(
+                frames, fileName=save,
+                title=f"{self.name or 'beamline'} — scan "
+                      f"{scan['element']}.{scan['param']}")
         if str(save).endswith('.png'):
             return _glow.export_png(self, beams=beams, fileName=save,
                                     maxRays=maxRays)

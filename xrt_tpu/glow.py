@@ -258,6 +258,148 @@ def export_html(bl=None, elements=None, beams=None, fileName='glow.html',
     return fileName
 
 
+_SCAN_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ margin:0; background:#101018; color:#ddd;
+        font:13px sans-serif; overflow:hidden }}
+ #hud {{ position:absolute; left:10px; top:8px; pointer-events:none }}
+ #bar {{ position:absolute; left:10px; bottom:10px; right:10px;
+        display:flex; gap:10px; align-items:center }}
+ #bar input[type=range] {{ flex:1 }}
+ #bar button {{ background:#223; color:#ddd; border:1px solid #555;
+        padding:2px 14px; cursor:pointer }}
+ #frame {{ min-width:140px; color:#fc6; font-family:monospace }}
+ canvas {{ display:block }}
+</style></head><body>
+<div id="hud">{title} &mdash; drag: orbit &middot; wheel: zoom &middot;
+ shift-drag: pan</div>
+<canvas id="c"></canvas>
+<div id="bar"><button id="play">&#9654;</button>
+ <input type="range" id="pos" min="0" max="{nmax}" value="0" step="1">
+ <span id="frame"></span></div>
+<script>
+const SCENES = {scenes_json};
+const LABELS = {labels_json};
+let IDX = 0;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let W, H; function resize() {{ W = cv.width = innerWidth;
+  H = cv.height = innerHeight; }} resize(); onresize = () =>
+  {{ resize(); draw(); }};
+let mn=[1e30,1e30,1e30], mx=[-1e30,-1e30,-1e30];
+function acc(p) {{ for (let k=0;k<3;k++) {{
+  mn[k]=Math.min(mn[k],p[k]); mx[k]=Math.max(mx[k],p[k]); }} }}
+SCENES.forEach(S => {{
+  S.elements.forEach(e=>e.lines.forEach(l=>l.forEach(acc)));
+  S.segments.forEach(s=>s.p.forEach(pr=>pr.forEach(acc))); }});
+const ctr=[0,1,2].map(k=>(mn[k]+mx[k])/2);
+const span=Math.max(mx[0]-mn[0],mx[1]-mn[1],mx[2]-mn[2],1e-9);
+let yaw=0.6, pit=0.35, zoom=0.9/span, panX=0, panY=0;
+function proj(p) {{
+  const x=p[0]-ctr[0], y=p[1]-ctr[1], z=p[2]-ctr[2];
+  const cy=Math.cos(yaw), sy=Math.sin(yaw);
+  const cp=Math.cos(pit), sp=Math.sin(pit);
+  const X = cy*y - sy*x;
+  const Y0 = cy*x + sy*y;
+  const Y = cp*z - sp*Y0;
+  return [W/2 + (X*zoom)*W*0.9 + panX, H/2 - (Y*zoom)*W*0.9 + panY];
+}}
+function draw() {{
+  const SCENE = SCENES[IDX];
+  document.getElementById('frame').textContent = LABELS[IDX];
+  document.getElementById('pos').value = IDX;
+  ctx.clearRect(0,0,W,H);
+  SCENE.segments.forEach(s => {{
+    for (let i=0;i<s.p.length;i++) {{
+      const a=proj(s.p[i][0]), b=proj(s.p[i][1]), c=s.rgb[i];
+      ctx.strokeStyle = `rgba(${{255*c[0]|0}},${{255*c[1]|0}},` +
+        `${{255*c[2]|0}},${{s.good[i] ? 0.55 : 0.08}})`;
+      ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]);
+      ctx.stroke();
+    }}
+  }});
+  SCENE.elements.forEach(e => {{
+    ctx.strokeStyle = e.color; ctx.globalAlpha = 0.9;
+    e.lines.forEach(l => {{
+      ctx.beginPath();
+      l.forEach((p,i) => {{ const q=proj(p);
+        i ? ctx.lineTo(q[0],q[1]) : ctx.moveTo(q[0],q[1]); }});
+      ctx.stroke();
+    }});
+    const q = proj(e.lines[0][0]);
+    ctx.fillStyle = e.color; ctx.fillText(e.name, q[0]+4, q[1]-4);
+    ctx.globalAlpha = 1;
+  }});
+}}
+let drag=null;
+cv.onmousedown = e => drag=[e.clientX,e.clientY,e.shiftKey];
+onmouseup = () => drag=null;
+onmousemove = e => {{ if (!drag) return;
+  const dx=e.clientX-drag[0], dy=e.clientY-drag[1];
+  if (drag[2]) {{ panX+=dx; panY+=dy; }}
+  else {{ yaw+=dx*0.008; pit+=dy*0.008; }}
+  drag=[e.clientX,e.clientY,drag[2]]; draw(); }};
+cv.onwheel = e => {{ zoom *= Math.exp(-e.deltaY*0.001); draw();
+  e.preventDefault(); }};
+document.getElementById('pos').oninput = e => {{
+  IDX = +e.target.value; draw(); }};
+let timer = null;
+document.getElementById('play').onclick = e => {{
+  if (timer) {{ clearInterval(timer); timer = null;
+    e.target.innerHTML = '&#9654;'; return; }}
+  e.target.innerHTML = '&#9208;';
+  timer = setInterval(() => {{
+    IDX = (IDX + 1) % SCENES.length; draw(); }}, 400);
+}};
+draw();
+</script></body></html>
+"""
+
+
+def build_scan_frames(bl, flow, element, param, values,
+                      maxRays=_MAX_RAYS):
+    """Replay the recorded *flow* for each value of ``element.param`` and
+    return [(label, scene)] frames — the data behind the scan player
+    (capability of the reference's xrtGlow scan player,
+    gui/xrtGlow/widgets/scan.py)."""
+    import jax.numpy as jnp
+    frames = []
+    el0 = bl[element]
+    cur = getattr(el0, param)
+    for v in values:
+        new = el0.replace(**{param: jnp.asarray(
+            v, getattr(cur, 'dtype', None))})
+        results = flow.replay(replace={element: new})
+        beams = {}
+        for key, val in results.items():
+            if key.startswith('~'):
+                continue
+            b = val[0] if isinstance(val, tuple) else val
+            if hasattr(b, 'state'):
+                beams[key] = b
+        elements = dict(bl._elements)
+        elements[element] = new
+        scene = build_scene(elements=elements, beams=beams,
+                            maxRays=maxRays)
+        frames.append((f'{element}.{param} = {float(v):.6g}', scene))
+    return frames
+
+
+def export_scan_html(frames, fileName='glow_scan.html',
+                     title='scan') -> str:
+    """Write a standalone scan-player HTML (slider + play button stepping
+    through the *frames* from :func:`build_scan_frames`)."""
+    labels = [lb for lb, _ in frames]
+    scenes = [sc for _, sc in frames]
+    html = _SCAN_HTML.format(
+        title=title, nmax=len(frames) - 1,
+        scenes_json=json.dumps(scenes),
+        labels_json=json.dumps(labels))
+    with open(fileName, 'w') as f:
+        f.write(html)
+    return fileName
+
+
 def export_png(bl=None, elements=None, beams=None, fileName='glow.png',
                maxRays=_MAX_RAYS, elev=20, azim=-60) -> str:
     """Static matplotlib 3D render of the same scene."""
