@@ -165,3 +165,9 @@ def test_diced_spherical_analyzer_tt_trace():
                                        Ry=Rm, Rx=math.inf, nsteps=4000)
     R_cyl = np.abs(np.asarray(rs_cyl)) ** 2
     assert np.abs(R_cyl - R_direct).max() > 0.02
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

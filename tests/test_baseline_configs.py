@@ -196,3 +196,9 @@ def test_config5_coherent_undulator_slit_fzp_focus():
     center = I[np.abs(zc) < 0.02 * rN].max()
     outer = I[np.abs(zc) > 0.1 * rN].mean()
     assert center > 5 * outer
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -94,3 +94,8 @@ def test_volumetric_diffraction_e2e():
     goodf = np.asarray(glof.state) == 1
     If = np.asarray(glof.Jss + glof.Jpp)[goodf]
     assert I.sum() > If.sum()
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

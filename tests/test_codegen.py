@@ -91,3 +91,9 @@ def test_generated_script_runs():
     assert plot.intensity > 0
     # the rebuilt beamline has the serialized materials
     assert ns['bl']['dcm'].material.hkl == (1, 1, 1)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

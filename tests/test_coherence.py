@@ -79,3 +79,8 @@ def test_eigen_modes_4d_vs_pca(ref):
     sig = wp > 1e-8 * wp.max()
     np.testing.assert_allclose((w4 / w4.sum())[sig], (wp / wp.sum())[sig],
                                rtol=1e-6, atol=1e-10)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

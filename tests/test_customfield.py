@@ -99,3 +99,9 @@ def test_customfield_near_field_golden():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(Ep), g['sff_Ep'], rtol=2e-4,
                                atol=1e-8)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -105,3 +105,9 @@ def test_dcm_energy_bandwidth():
     # the dtheta-corrected alignment centers the transmitted band at E0
     cE = (centers * h).sum() / h.sum()
     assert abs(cE - E0) < 0.5 * dE_darwin
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

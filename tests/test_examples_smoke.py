@@ -44,3 +44,9 @@ def test_example_runs(path):
     assert r.returncode == 0, (
         f'{name} failed (exit {r.returncode}):\n--- stdout ---\n'
         f'{r.stdout[-3000:]}\n--- stderr ---\n{r.stderr[-3000:]}')
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -139,3 +139,9 @@ def test_shrink_source_fits_mirror():
     # +-2e-4 around the specular direction)
     assert mesh.maxxprime < 2e-3 and mesh.minxprime > -2e-3
     assert mesh.maxzprime < 1e-3
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -120,3 +120,9 @@ def test_scan_player(tmp_path):
         return np.mean([p[1][2] for p in seg['p']])
     z0, z2 = mean_end_z(scenes[0]), mean_end_z(scenes[2])
     assert z2 - z0 > 1.0, (z0, z2)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -193,3 +193,9 @@ def test_grad_through_kirchhoff_wave_chain_fd():
     fd = (focal_peak(w0 + eps) - focal_peak(w0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
     assert abs(float(g)) > 0
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

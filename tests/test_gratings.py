@@ -132,3 +132,8 @@ def test_grating_efficiency_energy_table(tmp_path):
         jnp.asarray([9000.0, 9000.0]), jnp.asarray([1.0, 0.0]))
     # linear interpolation at 9000: order1 -> 0.35, order0 -> 0.20
     assert np.allclose(np.asarray(ampS) ** 2, [0.35, 0.20], rtol=1e-12)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

@@ -128,3 +128,9 @@ def test_eager_fallback_outside_envelope():
     ref = _run(args, 'vpu', True)
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -139,3 +139,8 @@ def test_recentred_weights_mask_dead_samples():
         rel = np.abs(np.asarray(g) - np.asarray(g2)).max() / \
             np.abs(np.asarray(g2)).max()
         assert rel < 1e-2
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

@@ -121,3 +121,9 @@ def test_undulator_tuning_curves_and_power():
     assert np.all(tF > 0)
     p = und.power_vs_K_through_aperture(energy, theta, psi, Ks)
     assert p.shape == (2,) and np.all(p > 0) and np.all(np.isfinite(p))
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -62,3 +62,8 @@ def test_modes_pipeline(tmp_path):
                                           slit=bl.slits[0],
                                           source=bl.sources[0])
     assert len(fields_saved) == 3
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

@@ -118,3 +118,9 @@ def test_two_process_multihost(tmp_path):
     # the worker really joined: 8 global devices seen from process 0
     assert 'process 0 of 2' in outs[0][1], outs[0][1]
     assert '8 devices' in outs[0][1], outs[0][1]
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -74,3 +74,9 @@ def test_mutual_intensity_4d_and_pca_agree():
     w, v = calc_eigen_modes_PCA(fields.reshape(-1, 8, 8))[0:2]
     w = np.abs(np.asarray(w))
     assert np.max(w) / np.sum(w) > 0.9
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

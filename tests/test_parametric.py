@@ -94,3 +94,8 @@ def test_hyperbolic_virtual_focus():
     yw = sol[0]
     # virtual focus lies q upstream of the mirror (y = p - q*cos(...))
     np.testing.assert_allclose(yw, p - q * math.cos(2 * PITCH), rtol=0.02)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

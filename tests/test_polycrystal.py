@@ -177,3 +177,9 @@ def test_powder_on_flat_plate_e2e():
     tt111 = 2 * math.asin(lam / (2 * A_SI / math.sqrt(3)))
     mean_tt = float((I * two_theta).sum() / max(I.sum(), 1e-30))
     assert abs(mean_tt - tt111) < 0.1
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

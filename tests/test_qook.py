@@ -120,3 +120,9 @@ def test_qook_branched_flow_survives_json_roundtrip():
     np.testing.assert_allclose(np.asarray(b1[last].x),
                                np.asarray(b2[last].x))
     assert any('_input' in kw for *_, kw in bl2.flow)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

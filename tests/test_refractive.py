@@ -65,3 +65,9 @@ def test_crl_focal_distance():
     z = np.asarray(img.z)[good]
     # focused spot far smaller than the 0.3 mm beam
     assert x.std() < 0.02 and z.std() < 0.02
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

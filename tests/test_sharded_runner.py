@@ -55,3 +55,9 @@ print('OK sharded runner')
 def test_sharded_run_ray_tracing(clean_env_runner):
     out, _ = clean_env_runner(CODE)
     assert 'OK sharded runner' in out
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

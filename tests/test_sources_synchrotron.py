@@ -131,3 +131,9 @@ def test_wiggler_shine_positions():
     # directions within the acceptance
     a = np.asarray(beam.a)
     assert np.abs(a).max() < wig.Theta_max * 1.5 + 3e-4
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

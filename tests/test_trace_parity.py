@@ -105,3 +105,9 @@ def test_dcm_parity_energy_band():
     Es = np.sqrt(np.average((E - Em) ** 2, weights=I))
     assert abs(Em - float(gold['E_mean'])) < 0.05   # eV
     assert abs(Es - float(gold['E_std'])) / float(gold['E_std']) < 0.03
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

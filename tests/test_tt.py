@@ -229,3 +229,9 @@ def test_thick_bent_laue_is_stable():
                              autoLimits=False)
     R = np.abs(np.asarray(rs)) ** 2
     assert np.all(np.isfinite(R)) and R.max() > 1e-3
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -156,3 +156,9 @@ def test_txm_through_plate_e2e():
     T_g = np.exp(-mu_g * 0.1 * 0.1)
     assert np.allclose(I[water_side], T_w, rtol=1e-6)
     assert np.allclose(I[gold_side], T_g, rtol=1e-5)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -136,3 +136,9 @@ def test_convergence_search():
     I1 = und.build_I_map(jax.random.PRNGKey(0), E, th, ps)[0]
     I2 = dense.build_I_map(jax.random.PRNGKey(0), E, th, ps)[0]
     np.testing.assert_allclose(I1, I2, rtol=1e-3)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

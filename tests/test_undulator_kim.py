@@ -89,3 +89,9 @@ def test_central_cone_flux_vs_kim():
     Qn = kim_F(h, K) * (1 + K * K / 2) / h
     kim = 1.431e14 * N * eI * Qn
     assert 0.75 < F / kim < 1.0, (F, kim)
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow

@@ -178,3 +178,8 @@ def test_diffract_through_aperture_wave():
     I = np.asarray(out.Jss + out.Jpp)
     assert np.isfinite(I).all()
     assert I.max() > 0
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics module: excluded from the fast gate (`-m "not slow"`)
+pytestmark = _pytest.mark.slow

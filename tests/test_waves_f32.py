@@ -99,3 +99,9 @@ def test_f32_wave_lo_parts(tmp_path):
                        env=env32)
     assert r.returncode == 0, r.stdout + r.stderr
     assert 'OK f32 waves' in r.stdout
+
+
+import pytest as _pytest  # noqa: E402
+# full-physics / subprocess module: excluded from the fast gate
+# (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]
+pytestmark = _pytest.mark.slow
