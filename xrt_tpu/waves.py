@@ -386,11 +386,16 @@ def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
     return prepare_wave(prevOE, wave, xglo, yglo, zglo)
 
 
-def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
+def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto',
+                       sort=None) -> Wave:
     """Wave samples on an OE surface: random (int nrays) or mesh
     ((nx, ny) tuple) samples traced onto the surface with incoming
     directions from the previous element's center (cf. reflect.py:266-405).
-    """
+
+    *sort='y'* orders the random samples along the surface's y axis so
+    that contiguous index slices are spatial tiles — required by the
+    blockwise-tiled :func:`diffract` (:func:`choose_tile_modes`); the
+    sample SET (and hence every MC estimate) is unchanged."""
     dt = config.dtype()
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -414,6 +419,10 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto') -> Wave:
         dY = oe.limPhysY[1] - oe.limPhysY[0]
         x = jax.random.uniform(k1, (nsamples,), dt) * dX + oe.limPhysX[0]
         y = jax.random.uniform(k2, (nsamples,), dt) * dY + oe.limPhysY[0]
+        if sort == 'y':
+            order = jnp.argsort(y)
+            x = x[order]
+            y = y[order]
     area0 = (oe.limPhysX[1] - oe.limPhysX[0]) * \
         (oe.limPhysY[1] - oe.limPhysY[0])
 
@@ -586,7 +595,7 @@ def estimate_footprint_area(x, y, good):
 
 def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
              phase_mode='recentred', monochromatic=False,
-             accumulate='mxu') -> Wave:
+             accumulate='mxu', tile_modes=None) -> Wave:
     """Diffract the surface field *oeLocal* onto the receiving *wave*
     samples (cf. reference diffract, waves.py:606-831).  Pure: returns the
     updated wave (accumulates over repeated calls through the Acc fields).
@@ -609,7 +618,16 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
     longitudinal extents |L.u - L.v| <= ~0.1 R0 (fields are exact);
     eager calls auto-fall-back to 'vpu' outside that envelope, jitted
     calls cannot — see kirchhoff_integral_pallas and
-    ops.kirchhoff.recentred_series_e_max."""
+    ops.kirchhoff.recentred_series_e_max.
+
+    *tile_modes* (from :func:`choose_tile_modes`, requires spatially
+    sorted samples): blockwise-recentred evaluation — the integral is
+    computed per (dst tile, src tile) pair with a per-pair kernel mode,
+    so short-distance stages whose global geometry breaks the recentred
+    envelopes (e.g. a grating ~250 mm from a 450 mm-long mirror) still
+    run mostly on the MXU path, with the exact per-pair 'fast' phase
+    only near the contact region.  Overrides *phase_mode*/*accumulate*
+    for the integral itself."""
     oe = wave.fromOE
     good = oeLocal.state == 1
     w = good.astype(wave.xDiffr.dtype)
@@ -681,14 +699,57 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
         sxl = getattr(oeLocal, 'x_lo', None)
         syl = getattr(oeLocal, 'y_lo', None)
         szl = getattr(oeLocal, 'z_lo', None)
-        Es, Ep, aE, bE, cE = kfn(
-            (wave.xDiffr, lo_of(wave.xDiffr, wave.xDiffr_lo)),
-            (wave.yDiffr, lo_of(wave.yDiffr, wave.yDiffr_lo)),
-            (wave.zDiffr, lo_of(wave.zDiffr, wave.zDiffr_lo)),
-            (oeLocal.x, src_zero if sxl is None else sxl),
-            (oeLocal.y, src_zero if syl is None else syl),
-            (oeLocal.z, src_zero if szl is None else szl),
-            oeLocal.Es, oeLocal.Ep, (kh, kl), n, nl, w)
+        dst_t = [(wave.xDiffr, lo_of(wave.xDiffr, wave.xDiffr_lo)),
+                 (wave.yDiffr, lo_of(wave.yDiffr, wave.yDiffr_lo)),
+                 (wave.zDiffr, lo_of(wave.zDiffr, wave.zDiffr_lo))]
+        src_t = [(oeLocal.x, src_zero if sxl is None else sxl),
+                 (oeLocal.y, src_zero if syl is None else syl),
+                 (oeLocal.z, src_zero if szl is None else szl)]
+        if tile_modes is not None:
+            # blockwise-recentred evaluation (see docstring): static tile
+            # boundaries; each pair runs its own kernel mode, dst tiles
+            # accumulate over src tiles and concatenate
+            ntd = len(tile_modes)
+            nts = len(tile_modes[0])
+            Nd_ = wave.xDiffr.shape[0]
+            Ns_ = oeLocal.x.shape[0]
+            db = np.linspace(0, Nd_, ntd + 1).astype(int)
+            sb = np.linspace(0, Ns_, nts + 1).astype(int)
+
+            def mk_kfn(pm, am):
+                if use_kernel:
+                    return functools.partial(
+                        kirchhoff_integral_pallas, phase_mode=pm,
+                        monochromatic=monochromatic, accumulate=am)
+                if pm == 'recentred':
+                    return functools.partial(
+                        kirchhoff_integral_recentred,
+                        monochromatic=monochromatic)
+                return kirchhoff_integral_dd
+
+            n_arr = [jnp.broadcast_to(ni, oeLocal.x.shape) for ni in n]
+            parts = []
+            for di in range(ntd):
+                ds = slice(int(db[di]), int(db[di + 1]))
+                acc5 = None
+                for si in range(nts):
+                    ss = slice(int(sb[si]), int(sb[si + 1]))
+                    pm, am = tile_modes[di][si]
+                    out5 = mk_kfn(pm, am)(
+                        *[(h[ds], l[ds]) for h, l in dst_t],
+                        *[(h[ss], l[ss]) for h, l in src_t],
+                        oeLocal.Es[ss], oeLocal.Ep[ss],
+                        (kh[ss], kl[ss]), [ni[ss] for ni in n_arr],
+                        nl[ss], w[ss])
+                    acc5 = out5 if acc5 is None else tuple(
+                        a + b for a, b in zip(acc5, out5))
+                parts.append(acc5)
+            Es, Ep, aE, bE, cE = (
+                jnp.concatenate([p[i] for p in parts]) for i in range(5))
+        else:
+            Es, Ep, aE, bE, cE = kfn(
+                *dst_t, *src_t,
+                oeLocal.Es, oeLocal.Ep, (kh, kl), n, nl, w)
     else:
         Es, Ep, aE, bE, cE = kirchhoff_integral_xla(
             wave.xDiffr, wave.yDiffr, wave.zDiffr,
@@ -845,6 +906,71 @@ def wave_to_global(wave: Wave) -> Beam:
         return glo.replace(x=gx, y=gy, z=gz)
     return glo.replace(x=glo.x + oe.center[0], y=glo.y + oe.center[1],
                        z=glo.z + oe.center[2])
+
+
+def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
+    """(phase_mode, accumulate) for a Kirchhoff stage with the given
+    CONCRETE geometry (host-side, numpy).
+
+    *dst_xyz*, *src_xyz*: (x, y, z) triples in the SAME (source-local)
+    frame — i.e. (wave.xDiffr, ...) and the source beam's (x, y, z).
+    Checks both envelopes of the recentred scheme: the 1/A direction
+    series (e <= SERIES_E_MAX for 'mxu') and the transverse delta-series
+    phase error; geometries outside both fall back to the per-pair
+    double-float 'fast' phase (exact at any separation)."""
+    from .ops.kirchhoff import recentred_series_e_max, SERIES_E_MAX
+    d = np.stack([np.asarray(v, np.float64) for v in dst_xyz])
+    s = np.stack([np.asarray(v, np.float64) for v in src_xyz])
+    e = recentred_series_e_max((d[0],), (d[1],), (d[2],),
+                               (s[0],), (s[1],), (s[2],))
+    C = d.mean(axis=1) - s.mean(axis=1)
+    R0 = float(np.sqrt(np.sum(C * C)))
+    if R0 == 0.0:
+        return 'fast', 'vpu'
+    L = C / R0
+    du = d - d.mean(axis=1)[:, None]
+    sv = s - s.mean(axis=1)[:, None]
+    tdu = du - L[:, None] * (L @ du)
+    tsv = sv - L[:, None] * (L @ sv)
+    tmax = float(np.max(np.linalg.norm(tdu, axis=0)) +
+                 np.max(np.linalg.norm(tsv, axis=0)))
+    Amin = R0 * max(1e-3, 1.0 - e)
+    xmax = (tmax / Amin) ** 2
+    kv = 1.42e6 if k is None else float(k)
+    phase_err = kv * Amin * 0.027 * xmax ** 4
+    if e > 0.25 or phase_err > 0.03:
+        return 'fast', 'vpu'
+    if e > SERIES_E_MAX:
+        return 'recentred', 'vpu'
+    return 'recentred', 'mxu'
+
+
+def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None):
+    """Per-tile-pair kernel modes for :func:`diffract` blockwise tiling.
+
+    Requires the samples to be SPATIALLY SORTED along the beam axis
+    (``sort='y'`` in the prepare_wave samplers), so that contiguous
+    slices are spatial tiles.  Returns a (n_dst_tiles, n_src_tiles)
+    nested list of (phase_mode, accumulate) chosen per tile pair — the
+    blockwise analog of recentring per attention tile: a short-distance
+    stage whose GLOBAL geometry breaks the recentred envelopes usually
+    satisfies them on most tile pairs, leaving the exact per-pair 'fast'
+    phase only near the contact region."""
+    Nd = len(np.asarray(dst_xyz[0]))
+    Ns = len(np.asarray(src_xyz[0]))
+    db = np.linspace(0, Nd, n_dst_tiles + 1).astype(int)
+    sb = np.linspace(0, Ns, n_src_tiles + 1).astype(int)
+    modes = []
+    for di in range(n_dst_tiles):
+        row = []
+        dsl = slice(db[di], db[di + 1])
+        dxyz = tuple(np.asarray(v)[dsl] for v in dst_xyz)
+        for si in range(n_src_tiles):
+            ssl = slice(sb[si], sb[si + 1])
+            sxyz = tuple(np.asarray(v)[ssl] for v in src_xyz)
+            row.append(choose_kirchhoff_mode(dxyz, sxyz, k))
+        modes.append(row)
+    return modes
 
 
 def rescale_field(beam: Beam, target_rms=1.0):
