@@ -22,7 +22,8 @@ def __getattr__(name):
                 'apertures', 'beamline', 'runner', 'plotspec', 'plotting',
                 'coherence', 'modes', 'parallel', 'figure_error', 'kde',
                 'stages', 'server', 'beamio', 'histogram', 'dummy',
-                'flow', 'glow'):
+                'flow', 'glow', 'wavechain', 'webui', 'epics', 'qook',
+                'codegen', 'profiler', 'units', 'singletons'):
         return importlib.import_module('.' + name, __name__)
     raise AttributeError(name)
 
