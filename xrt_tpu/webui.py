@@ -251,6 +251,7 @@ _PAGE = """<!DOCTYPE html>
    <div>nGood <span class="v" id="ngood"></span></div>
    <div>center <span class="v" id="cen"></span> mm</div>
    <div>FWHM <span class="v" id="fwhm"></span> mm</div>
+   <div>window <span class="v" id="ext"></span> mm</div>
   </div>
  </div>
 </div>
@@ -327,6 +328,9 @@ async function drawHist() {
   $('cen').textContent = d.cx.toPrecision(4)+', '+d.cz.toPrecision(4);
   $('fwhm').textContent =
     d.fwhm_x.toPrecision(3)+' x '+d.fwhm_z.toPrecision(3);
+  $('ext').textContent =
+    '['+d.extent[0].toPrecision(3)+', '+d.extent[1].toPrecision(3)+
+    '] x ['+d.extent[2].toPrecision(3)+', '+d.extent[3].toPrecision(3)+']';
 }
 
 // ---- 3D view (glow) ----
