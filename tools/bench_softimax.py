@@ -109,37 +109,14 @@ def _aim_yaw(d):
 
 def choose_stage_mode(wave, src_x, src_y, src_z, k=None):
     """(phase_mode, accumulate) for one diffract stage given its fixed
-    geometry (host-side, once at build).  See module docstring."""
-    from xrt_tpu.ops.kirchhoff import recentred_series_e_max, SERIES_E_MAX
-    xd = np.asarray(wave.xDiffr, np.float64)
-    yd = np.asarray(wave.yDiffr, np.float64)
-    zd = np.asarray(wave.zDiffr, np.float64)
-    xs = np.asarray(src_x, np.float64)
-    ys = np.asarray(src_y, np.float64)
-    zs = np.asarray(src_z, np.float64)
-    e = recentred_series_e_max((xd,), (yd,), (zd,), (xs,), (ys,), (zs,))
-    # recentred-phase transverse envelope: delta(r) is a 4-term series in
-    # x = wp2/A^2; phase error ~ k*A*0.027*x^4 must stay << 1 rad
-    d = np.stack([xd, yd, zd])
-    s = np.stack([xs, ys, zs])
-    C = d.mean(axis=1) - s.mean(axis=1)
-    R0 = float(np.sqrt(np.sum(C * C)))
-    L = C / R0
-    du = d - d.mean(axis=1)[:, None]
-    sv = s - s.mean(axis=1)[:, None]
-    tdu = du - L[:, None] * (L @ du)
-    tsv = sv - L[:, None] * (L @ sv)
-    tmax = float(np.max(np.linalg.norm(tdu, axis=0)) +
-                 np.max(np.linalg.norm(tsv, axis=0)))
-    Amin = R0 * max(1e-3, 1.0 - e)
-    xmax = (tmax / Amin) ** 2
-    kv = 1.42e6 if k is None else float(k)   # 1/mm at 280 eV
-    phase_err = kv * Amin * 0.027 * xmax ** 4
-    if e > 0.25 or phase_err > 0.03:
-        return 'fast', 'vpu'
-    if e > SERIES_E_MAX:
-        return 'recentred', 'vpu'
-    return 'recentred', 'mxu'
+    geometry — thin wrapper over the library's
+    :func:`xrt_tpu.waves.choose_kirchhoff_mode` (the envelope logic
+    lives there; k defaults to the 280 eV chain energy)."""
+    from xrt_tpu.waves import choose_kirchhoff_mode
+    return choose_kirchhoff_mode(
+        (np.asarray(wave.xDiffr), np.asarray(wave.yDiffr),
+         np.asarray(wave.zDiffr)),
+        (np.asarray(src_x), np.asarray(src_y), np.asarray(src_z)), k=k)
 
 
 def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
@@ -359,9 +336,24 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
         """One full propagation; returns (3, n_scr, n_scr) focal images
         in the reference's absolute flux units (float64 host rescale).
         With reprepare=True the wave geometry is regenerated too (the
-        reference recomputes it every repeat; compiles are cached)."""
+        reference recomputes it every repeat; compiles are cached).
+        NB the kernel modes are baked into the compiled chain: if the
+        re-drawn geometry changes any stage's mode the cached executable
+        would silently run the wrong kernel, so that case errors out."""
         state['key'], sub = jax.random.split(state['key'])
-        waves = prepare(sub) if reprepare else waves0
+        if reprepare:
+            modes_before = dict(modes)
+            waves = prepare(sub)
+            if modes != modes_before:
+                changed = [nm for nm in modes
+                           if modes[nm] != modes_before.get(nm)]
+                raise RuntimeError(
+                    'reprepare moved stages across a kernel-mode '
+                    f'envelope ({changed}); rebuild the chain '
+                    '(build_chain) so the jit retraces with the new '
+                    'modes')
+        else:
+            waves = waves0
         imgs, logs = chain(sub, *waves[:-1], waves[-1])
         return np.asarray(imgs, np.float64) * math.exp(
             -2.0 * float(logs))

@@ -333,24 +333,6 @@ def _calc(args):
         alpha = math.radians(args.asym)
         bent = args.R is not None or args.Rs is not None
 
-        @jax.jit
-        def rock(th):
-            # asymmetric cut: surface tilted by alpha from the reflecting
-            # planes (cf. reference test_asymmetric_xtal.py geometry)
-            g0 = -jnp.sin(th + alpha)
-            gh = jnp.sin(th - alpha) if not cr.geom.startswith('L') else \
-                -jnp.sin(th - alpha)
-            hns0 = -jnp.sin(th)
-            E_ = jnp.full(th.shape, E0)
-            if bent:
-                rs, rp = cr.get_amplitude_TT(
-                    E_, g0, gh, hns0, alphaAsym=alpha,
-                    Ry=args.R if args.R is not None else float('inf'),
-                    Rx=args.Rs if args.Rs is not None else
-                    float('inf'))[0:2]
-            else:
-                rs, rp = cr.get_amplitude(E_, g0, gh, hns0)[0:2]
-            return jnp.abs(rs) ** 2, jnp.abs(rp) ** 2
         if args.scan:
             # xrtBentXtal-style parameter sweep: overlaid rocking curves
             # for a list/range of bending radii or thicknesses

@@ -84,6 +84,14 @@ class WaveChain:
         tilemaps: List[Optional[list]] = []
         prev_el = self.source
         prev_geom = None          # source-sample geometry of the sender
+        # wavenumber for the phase-error envelope checks: the recentred
+        # delta-series error scales with k, so the mode selection must
+        # see the actual photon energy, not the helper's default
+        from .physconsts import CHBAR
+        if self.fixedEnergy is not None:
+            kv = float(self.fixedEnergy) / CHBAR * 1e7
+        else:
+            kv = float(getattr(self.source, 'eMax', 280.0)) / CHBAR * 1e7
         for i, (kind, el, extra) in enumerate(self._hops):
             if kind == 'aperture':
                 wv = _w.prepare_wave_on_aperture(el, prev_el, self.nrays,
@@ -100,10 +108,11 @@ class WaveChain:
             else:
                 dst = (np.asarray(wv.xDiffr), np.asarray(wv.yDiffr),
                        np.asarray(wv.zDiffr))
-                mode = _w.choose_kirchhoff_mode(dst, prev_geom)
+                mode = _w.choose_kirchhoff_mode(dst, prev_geom, k=kv)
                 tm = None
                 if tiled and mode != ('recentred', 'mxu'):
-                    tm = _w.choose_tile_modes(dst, prev_geom, *tile_shape)
+                    tm = _w.choose_tile_modes(dst, prev_geom, *tile_shape,
+                                              k=kv)
                 if verbose:
                     nm = getattr(el, 'name', '') or type(el).__name__
                     print(f'# hop {i} -> {nm}: {mode}'

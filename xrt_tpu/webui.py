@@ -142,10 +142,23 @@ class WebUI:
             cur = getattr(el, param)
             val = jnp.asarray(value, getattr(cur, 'dtype', None))
             new = el.replace(**{param: val})
+            old_repl = self._repl.get(name)
+            had_repl = name in self._repl
             self.elements[name] = new
             self.bl.update(name, new)
             self._repl[name] = new
-            self._results = self.flow.replay(replace=self._repl)
+            try:
+                self._results = self.flow.replay(replace=self._repl)
+            except Exception:
+                # roll back so a failing value cannot poison every
+                # subsequent replay (the old results stay displayed)
+                self.elements[name] = el
+                self.bl.update(name, el)
+                if had_repl:
+                    self._repl[name] = old_repl
+                else:
+                    del self._repl[name]
+                raise
             return {'ok': True}
 
     def api_hist(self, beam_key=None):
