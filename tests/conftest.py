@@ -40,11 +40,22 @@ CLEAN_ENV = {
 }
 
 
-def run_in_clean_env(code: str, timeout=600):
+def run_in_clean_env(code: str, timeout=600, f32=False):
     """Run python *code* in a subprocess with an 8-device CPU mesh and
-    return (stdout, stderr).  Raises on nonzero exit."""
+    return (stdout, stderr).  Raises on nonzero exit.
+
+    *f32=True* adds ``--xla_backend_optimization_level=0``: XLA:CPU's
+    LLVM codegen at O1+ breaks the exact two_sum/two_prod error
+    extraction of the double-float (f32-pair) kernels under jit —
+    verified by comparing jitted vs eager vs float64 truth; TPU codegen
+    preserves exactness, so this is a CPU-validation-only flag.  Use it
+    for any subprocess that asserts float32 double-float accuracy."""
+    env = dict(CLEAN_ENV)
+    if f32:
+        env['XLA_FLAGS'] = env['XLA_FLAGS'] + \
+            ' --xla_backend_optimization_level=0'
     r = subprocess.run([sys.executable, '-c', code], capture_output=True,
-                       text=True, timeout=timeout, env=CLEAN_ENV)
+                       text=True, timeout=timeout, env=env)
     if r.returncode != 0:
         raise AssertionError(
             f'subprocess failed (exit {r.returncode}):\n--- stdout ---\n'

@@ -128,10 +128,11 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
     All stages are compiled on the first call.
 
     *tiled*: blockwise-recentred tiling for the stages outside the
-    global MXU envelopes (waves.choose_tile_modes): measured 7.76 s vs
-    8.37 s untiled on one v5e, at the cost of ~4x longer one-time
-    compilation — opt-in so the driver-facing bench stays cheap to
-    warm up."""
+    global MXU envelopes (waves.choose_tile_modes): measured 7.77 s vs
+    8.37 s untiled on one v5e.  Since round 4 the tile pairs are grouped
+    by kernel mode and scanned within groups (waves.diffract), so the
+    one-time compile is the same ~68 s as untiled (was 280 s with one
+    kernel variant per tile pair) — tiled is now the default."""
     import jax
     import jax.numpy as jnp
     import xrt_tpu.materials as xm
@@ -143,7 +144,7 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
     from xrt_tpu.sources import Undulator
     from xrt_tpu.waves import (prepare_wave_on_aperture, prepare_wave_on_oe,
                                prepare_wave_on_screen, diffract,
-                               wave_to_global, rescale_field)
+                               reflect_wave, rescale_field)
 
     key = jax.random.PRNGKey(7)
     mAu = xm.Material.create('Au', rho=19.32, kind='mirror')
@@ -304,8 +305,10 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
 
         def refl(oe, b):
             nonlocal logs
-            _, loc = oe.reflect(wave_to_global(b), k,
-                                noIntersectionSearch=True)
+            # reflect_wave keeps the receiver's exact local coords: the
+            # f32 global round trip would quantize them at ~1e-3 mm and
+            # scramble the next hop's phases
+            _, loc = reflect_wave(oe, b, k)
             loc, ls = rescale_field(loc)
             logs = logs + ls
             return loc
@@ -366,7 +369,9 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
 
 def main():
     smoke = '--smoke' in sys.argv
-    tiled = '--tiled' in sys.argv
+    # tiled is the production default (7.8 vs 8.4 s on one v5e; same
+    # compile cost since the per-mode kernel dedup); --untiled opts out
+    tiled = '--untiled' not in sys.argv
     from xrt_tpu.config import select_platform
     select_platform()
     nrays = 4000 if smoke else 200000

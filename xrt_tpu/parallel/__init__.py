@@ -160,6 +160,94 @@ def kirchhoff_ring(mesh: Mesh, xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     return tuple(o[:Nd] for o in out)
 
 
+def dst_sharded_call(mesh: Mesh, fn, dst_args, src_args, ring=False,
+                     src_pad=None, axis_name=None, acc_dtype=None):
+    """Run ``fn(*dst_args, *src_args) -> tuple of per-dst accumulators``
+    with the destination arrays sharded over *mesh*.
+
+    The generic multi-device form of the Kirchhoff splitting (reference
+    myopencl.py:455-542 splits the dst dimension across GPUs): *fn* is any
+    integral kernel linear in its source samples whose outputs are 1D over
+    the dst axis (e.g. a partial application of the f32 double-float /
+    recentred Pallas kernels, or the f64 XLA path).
+
+    - ``ring=False`` (default): src args replicated on every device —
+      ZERO collectives; each device integrates its own dst tile.
+    - ``ring=True``: src args sharded too; the src shards rotate around
+      the mesh with ``lax.ppermute`` while each device accumulates its
+      dst tile against every shard in turn — per-device memory
+      O((Nd+Ns)/ndev).  *src_pad* gives the pad rule per src arg
+      ('edge' for positions/k/normals, 'zero' for fields/weights so the
+      padding contributes nothing); default 'zero'.
+
+    dst args are edge-padded to a multiple of the device count (zero
+    padding would pollute per-shard recentring reference points);
+    outputs are clipped back to the true length."""
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    dst_args = [jnp.asarray(v) for v in dst_args]
+    src_args = [jnp.asarray(v) for v in src_args]
+    Nd = dst_args[0].shape[0]
+    npad_d = (-Nd) % ndev
+
+    def pad_edge(v, npad):
+        return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (npad,))]) \
+            if npad else v
+
+    def pad_zero(v, npad):
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) \
+            if npad else v
+
+    dsts = [pad_edge(v, npad_d) for v in dst_args]
+    nd_args = len(dsts)
+
+    if not ring:
+        def local(*args):
+            return fn(*args)
+        specs = (P(axis_name),) * nd_args + (P(),) * len(src_args)
+        wrapped = shard_map(local, mesh, in_specs=specs,
+                            out_specs=P(axis_name))
+        out = wrapped(*dsts, *src_args)
+        return tuple(o[:Nd] for o in out)
+
+    Ns = src_args[0].shape[0]
+    npad_s = (-Ns) % ndev
+    if src_pad is None:
+        src_pad = ['zero'] * len(src_args)
+    srcs = [pad_edge(v, npad_s) if rule == 'edge' else pad_zero(v, npad_s)
+            for v, rule in zip(src_args, src_pad)]
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+    if acc_dtype is None:
+        acc_dtype = jnp.complex64 \
+            if dst_args[0].dtype == jnp.float32 else jnp.complex128
+    pvary = getattr(jax.lax, 'pvary', lambda x, names: x)
+
+    def local(*args):
+        dst_l = args[:nd_args]
+        src_l = args[nd_args:]
+
+        def body(carry, _):
+            accs, shards = carry
+            out = fn(*dst_l, *shards)
+            accs = tuple(a + o for a, o in zip(accs, out))
+            shards = tuple(jax.lax.ppermute(s, axis_name, perm)
+                           for s in shards)
+            return (accs, shards), None
+
+        init = tuple(pvary(jnp.zeros(dst_l[0].shape, acc_dtype),
+                           (axis_name,)) for _ in range(5))
+        (accs, _), _ = jax.lax.scan(body, (init, tuple(src_l)), None,
+                                    length=ndev)
+        return accs
+
+    specs = (P(axis_name),) * nd_args + (P(axis_name),) * len(srcs)
+    wrapped = shard_map(local, mesh, in_specs=specs,
+                        out_specs=P(axis_name))
+    out = wrapped(*dsts, *srcs)
+    return tuple(o[:Nd] for o in out)
+
+
 def sharded_trace(run_process, beamLine, mesh: Mesh, key, reduce_fn,
                   axis_name=None):
     """General sharded trace: every device traces with its own key, then

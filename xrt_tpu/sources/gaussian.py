@@ -187,11 +187,13 @@ class GaussianBeam:
         Es = Es * amp
         Ep = Ep * amp
         amp2 = jnp.abs(amp) ** 2
-        a = wave.xDiffr
-        c = wave.zDiffr
-        b = jnp.where(invR == 0, 1e20, 1.0 / jnp.where(invR == 0, 1.0,
-                                                       invR))
-        b = jnp.sqrt(jnp.clip(b ** 2 - a ** 2 - c ** 2, 1e-30, None))
+        # ray directions from the wavefront curvature, formulated with
+        # invR directly (a 1/invR sentinel squared overflows float32 at
+        # the waist, where invR == 0, and NaN'd the whole chain):
+        # (a, b, c) ~ (x*invR, sqrt(1 - (x^2+z^2)*invR^2), z*invR)
+        a = wave.xDiffr * invR
+        c = wave.zDiffr * invR
+        b = jnp.sqrt(jnp.clip(1.0 - a ** 2 - c ** 2, 1e-30, None))
         norm = jnp.sqrt(a ** 2 + b ** 2 + c ** 2)
         out = wave.replace(
             E=E, Es=Es, Ep=Ep,

@@ -66,14 +66,28 @@ class WaveChain:
 
     # -- compile ---------------------------------------------------------
     def build(self, key=None, tiled=False, tile_shape=(5, 10),
-              verbose=False):
+              verbose=False, mesh=None, ring=False):
         """Prepare the fixed receiving geometry, choose per-stage kernel
         modes, and return ``run(key=None) -> (final_wave, log_scale)``.
 
         The first ``run`` call compiles; later calls re-execute.  The
         final wave's J/Es carry the accumulated rescaling — use
         :meth:`absolute_intensity` (or ``exp(-2*logs)``) to restore the
-        reference's absolute units in float64."""
+        reference's absolute units in float64.
+
+        *mesh* (a ``jax.sharding.Mesh``): every Kirchhoff integral in
+        the chain runs with its destination samples sharded over the
+        mesh and the source cloud replicated (zero collectives — the
+        multi-chip splitting of the reference chain,
+        myopencl.py:455-542); ``ring=True`` shards the sources too and
+        rotates them with ppermute (for clouds too large to replicate).
+        The elementwise element physics (shine/reflect) stays
+        data-parallel under the same jit.  Not combinable with
+        *tiled*."""
+        if mesh is not None and tiled:
+            raise ValueError('tiled chains cannot run sharded '
+                             '(tile_modes + mesh is unsupported); use '
+                             'mesh= with tiled=False')
         if key is None:
             key = jax.random.PRNGKey(0)
         if not self._hops:
@@ -143,18 +157,20 @@ class WaveChain:
 
             cur = _w._shine_or_diffract(None, wvs[0], k, fixedEnergy=fixedE)
             if hops[0][0] == 'oe':
-                _, cur = hops[0][1].reflect(_w.wave_to_global(cur), k,
-                                            noIntersectionSearch=True)
+                _, cur = _w.reflect_wave(hops[0][1], cur, k)
             cur = scaled(cur)
             for i in range(1, len(hops)):
                 kind, el, extra = hops[i]
                 pm, acc = modes[i]
                 b = _w.diffract(cur, wvs[i], phase_mode=pm,
                                 monochromatic=mono, accumulate=acc,
-                                tile_modes=tilemaps[i])
+                                tile_modes=tilemaps[i], mesh=mesh,
+                                ring=ring)
                 if kind == 'oe':
-                    _, cur = el.reflect(_w.wave_to_global(b), k,
-                                        noIntersectionSearch=True)
+                    # reflect_wave keeps the EXACT local sample coords
+                    # (the f32 global round trip would add ~1e-3 mm
+                    # position noise = 100s of rad for the next hop)
+                    _, cur = _w.reflect_wave(el, b, k)
                     if extra is not None:   # grating areaFraction
                         cur = cur.replace(area=cur.area * extra)
                 else:

@@ -337,16 +337,29 @@ def prepare_wave_on_screen(screen, prevOE, dim1, dim2, dy=0.0,
     return prepare_wave(prevOE, wave, xglo, yglo, zglo)
 
 
-def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
+def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None,
+                             samples=None) -> Wave:
     """Uniform random wave samples in an aperture opening
-    (cf. apertures.py:467-500)."""
+    (cf. apertures.py:467-500).
+
+    *samples*: optional (x, z) paired local sample coordinates replacing
+    the random draw (deterministic parity tests feed the reference's own
+    receiver samples through the chain)."""
     dt = config.dtype()
     cdt = config.cdtype()
     if key is None:
         key = jax.random.PRNGKey(0)
-    nrays = int(nrays)
+    nrays = int(nrays) if samples is None else len(np.asarray(samples[0]))
     from .apertures import RectangularAperture, RoundAperture
-    if isinstance(aperture, RoundAperture):
+    if samples is not None:
+        x = jnp.asarray(samples[0], dt)
+        z = jnp.asarray(samples[1], dt)
+        if isinstance(aperture, RoundAperture):
+            area = math.pi * float(aperture.r) ** 2
+        else:
+            area = (aperture.right - aperture.left) * \
+                (aperture.top - aperture.bottom)
+    elif isinstance(aperture, RoundAperture):
         k1, k2 = jax.random.split(key)
         r = jnp.sqrt(jax.random.uniform(k1, (nrays,), dt)) * aperture.r
         phi = jax.random.uniform(k2, (nrays,), dt, 0.0, 2 * math.pi)
@@ -387,7 +400,7 @@ def prepare_wave_on_aperture(aperture, prevOE, nrays, key=None) -> Wave:
 
 
 def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto',
-                       sort=None) -> Wave:
+                       sort=None, samples=None) -> Wave:
     """Wave samples on an OE surface: random (int nrays) or mesh
     ((nx, ny) tuple) samples traced onto the surface with incoming
     directions from the previous element's center (cf. reflect.py:266-405).
@@ -399,7 +412,19 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto',
     dt = config.dtype()
     if key is None:
         key = jax.random.PRNGKey(0)
-    if isinstance(nrays, (tuple, list)):
+    z_given = None
+    if samples is not None:
+        # explicit PAIRED surface coordinates (deterministic parity tests
+        # feed the reference's own receiver samples through the chain);
+        # an optional third member pins the surface z too — float32 runs
+        # would otherwise re-derive z with catastrophic cancellation
+        # (e.g. a toroid's r - sqrt(r^2 - x^2) loses ~1e-4 mm in f32)
+        x = jnp.asarray(samples[0], dt)
+        y = jnp.asarray(samples[1], dt)
+        if len(samples) > 2:
+            z_given = jnp.asarray(samples[2], dt)
+        nsamples = x.shape[0]
+    elif isinstance(nrays, (tuple, list)):
         if isinstance(nrays[0], np.ndarray):
             # explicit sample coordinates (reference reflect.py:322-327)
             xx, yy = np.asarray(nrays[0]), np.asarray(nrays[1])
@@ -430,10 +455,23 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto',
     # would materialize complex constants host-side, which some TPU
     # transports cannot transfer (see config.czeros)
     def _build(x, y, key):
-        if oe.isParametric:
+        if z_given is not None:
+            z = z_given
+            s = phi = None
+            if oe.isParametric:
+                s, phi, _ = oe.xyz_to_param(x, y, z)
+        elif oe.isParametric:
             s, phi, r0 = oe.xyz_to_param(x, y, jnp.zeros_like(x))
             r = oe.local_r(s, phi)
             z = oe.param_to_xyz(s, phi, r)[2]
+            # fixed-point refinement: the z=0 projection lands ~1e-4 mm
+            # off on tilted parametric surfaces — enough to scramble
+            # grazing-incidence phases (k * 1e-4 mm ~ 100 rad); two more
+            # re-projections from the surface z converge to ~nm
+            for _ in range(2):
+                s, phi, r0 = oe.xyz_to_param(x, y, z)
+                r = oe.local_r(s, phi)
+                z = oe.param_to_xyz(s, phi, r)[2]
         else:
             z = oe.local_z(x, y)
         lb = Beam(x=x, y=y, z=z,
@@ -493,6 +531,17 @@ def prepare_wave_on_oe(oe, prevOE, nrays, key=None, shape='auto',
         nrm = jnp.sqrt(an ** 2 + bn ** 2 + cn ** 2)
         areaNormalFact = jnp.abs(
             (an * lbn.a[0] + bn * lbn.b[0] + cn * lbn.c[0]) / nrm)[0]
+        if samples is not None:
+            # explicit samples: the receiver points ARE the requested
+            # surface coordinates — no ray-trace landing (the intersection
+            # solver would move each point by its convergence tolerance,
+            # ~1e-5 mm in float32 = tens of radians of phase at grazing
+            # incidence, breaking deterministic cross-dtype parity)
+            st = oe.rays_good(x, y, jnp.ones((nsamples,), jnp.int32))
+            waveLocal = lb.replace(state=st)
+            if oe.isParametric:
+                waveLocal = waveLocal.replace(s=s, phi=phi)
+            return waveLocal, waveLocal, areaNormalFact
         waveGlobal, waveLocal = oe.reflect(lb_in, key)
         return waveGlobal, waveLocal, areaNormalFact
 
@@ -595,7 +644,8 @@ def estimate_footprint_area(x, y, good):
 
 def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
              phase_mode='recentred', monochromatic=False,
-             accumulate='mxu', tile_modes=None) -> Wave:
+             accumulate='mxu', tile_modes=None, mesh=None,
+             ring=False) -> Wave:
     """Diffract the surface field *oeLocal* onto the receiving *wave*
     samples (cf. reference diffract, waves.py:606-831).  Pure: returns the
     updated wave (accumulates over repeated calls through the Acc fields).
@@ -627,8 +677,23 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
     envelopes (e.g. a grating ~250 mm from a 450 mm-long mirror) still
     run mostly on the MXU path, with the exact per-pair 'fast' phase
     only near the contact region.  Overrides *phase_mode*/*accumulate*
-    for the integral itself."""
+    for the integral itself.
+
+    *mesh* (a ``jax.sharding.Mesh``): run the integral with the
+    destination samples sharded over the mesh — the multi-chip analog of
+    the reference's dst-dimension GPU splitting (myopencl.py:455-542).
+    With ``ring=False`` (default) the source cloud is replicated on
+    every device and the integral needs ZERO collectives; ``ring=True``
+    shards the sources too and rotates the shards around the mesh with
+    ``ppermute`` (use when the source cloud is too large to replicate).
+    Sharding composes with jit; per-shard recentring means the f32
+    result differs from single-device at the kernel's own accuracy
+    floor (~1e-6 relative field), the f64 XLA path is bit-exact.
+    Not combinable with *tile_modes*."""
     oe = wave.fromOE
+    if mesh is not None and tile_modes is not None:
+        raise ValueError('tile_modes cannot be combined with mesh= — '
+                         'sharded stages run their global kernel mode')
     good = oeLocal.state == 1
     w = good.astype(wave.xDiffr.dtype)
 
@@ -707,14 +772,20 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
                  (oeLocal.z, src_zero if szl is None else szl)]
         if tile_modes is not None:
             # blockwise-recentred evaluation (see docstring): static tile
-            # boundaries; each pair runs its own kernel mode, dst tiles
-            # accumulate over src tiles and concatenate
+            # boundaries; each tile PAIR runs its own kernel mode.  Pairs
+            # are grouped by mode and evaluated by a lax.scan over the
+            # group with dynamic_slice tile extraction, so each distinct
+            # mode traces (and compiles) exactly ONE kernel — a naive
+            # per-pair Python loop compiled ntd*nts kernel variants and
+            # took ~4x the untiled chain's compile time.
             ntd = len(tile_modes)
             nts = len(tile_modes[0])
             Nd_ = wave.xDiffr.shape[0]
             Ns_ = oeLocal.x.shape[0]
-            db = np.linspace(0, Nd_, ntd + 1).astype(int)
-            sb = np.linspace(0, Ns_, nts + 1).astype(int)
+            Td, _ = _tile_bounds(Nd_, ntd)
+            Ts, _ = _tile_bounds(Ns_, nts)
+            pad_d = ntd * Td - Nd_
+            pad_s = nts * Ts - Ns_
 
             def mk_kfn(pm, am):
                 if use_kernel:
@@ -727,29 +798,121 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
                         monochromatic=monochromatic)
                 return kirchhoff_integral_dd
 
+            # edge-pad positions (zero-padding would drag the recentring
+            # reference points D0/S0 toward the origin); zero-pad weights
+            # and fields so padded samples contribute nothing
+            def pad_edge(v, p):
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (p,))]) if p else v
+
+            def pad_zero(v, p):
+                return jnp.concatenate(
+                    [v, jnp.zeros((p,), v.dtype)]) if p else v
+
             n_arr = [jnp.broadcast_to(ni, oeLocal.x.shape) for ni in n]
-            parts = []
+            dstp = [(pad_edge(h, pad_d), pad_edge(l, pad_d))
+                    for h, l in dst_t]
+            srcp = [(pad_edge(h, pad_s), pad_edge(l, pad_s))
+                    for h, l in src_t]
+            Esp = pad_zero(oeLocal.Es, pad_s)
+            Epp = pad_zero(oeLocal.Ep, pad_s)
+            khp, klp = pad_edge(kh, pad_s), pad_edge(kl, pad_s)
+            narr_p = [pad_edge(ni, pad_s) for ni in n_arr]
+            nlp = pad_edge(nl, pad_s)
+            wp = pad_zero(w, pad_s)
+
+            groups = {}
             for di in range(ntd):
-                ds = slice(int(db[di]), int(db[di + 1]))
-                acc5 = None
                 for si in range(nts):
-                    ss = slice(int(sb[si]), int(sb[si + 1]))
-                    pm, am = tile_modes[di][si]
-                    out5 = mk_kfn(pm, am)(
-                        *[(h[ds], l[ds]) for h, l in dst_t],
-                        *[(h[ss], l[ss]) for h, l in src_t],
-                        oeLocal.Es[ss], oeLocal.Ep[ss],
-                        (kh[ss], kl[ss]), [ni[ss] for ni in n_arr],
-                        nl[ss], w[ss])
-                    acc5 = out5 if acc5 is None else tuple(
-                        a + b for a, b in zip(acc5, out5))
-                parts.append(acc5)
-            Es, Ep, aE, bE, cE = (
-                jnp.concatenate([p[i] for p in parts]) for i in range(5))
+                    groups.setdefault(tuple(tile_modes[di][si]),
+                                      []).append((di, si))
+            cdt_ = jnp.result_type(oeLocal.Es)
+            acc5 = tuple(jnp.zeros((ntd * Td,), cdt_) for _ in range(5))
+
+            def one_pair(acc, ds_, ss_, kfn):
+                def dsl(v):
+                    return jax.lax.dynamic_slice(v, (ds_,), (Td,))
+
+                def ssl(v):
+                    return jax.lax.dynamic_slice(v, (ss_,), (Ts,))
+                out5 = kfn(
+                    *[(dsl(h), dsl(l)) for h, l in dstp],
+                    *[(ssl(h), ssl(l)) for h, l in srcp],
+                    ssl(Esp), ssl(Epp), (ssl(khp), ssl(klp)),
+                    [ssl(ni) for ni in narr_p], ssl(nlp), ssl(wp))
+                return tuple(
+                    jax.lax.dynamic_update_slice(
+                        a, jax.lax.dynamic_slice(a, (ds_,), (Td,)) + o,
+                        (ds_,))
+                    for a, o in zip(acc, out5))
+
+            unroll_pairs = jax.default_backend() == 'cpu'
+            for (pm, am), pairs in sorted(groups.items()):
+                kfn = mk_kfn(pm, am)
+                if unroll_pairs:
+                    # XLA:CPU's while-loop emitter breaks the exact
+                    # two-prod/two-sum extraction inside scan bodies (see
+                    # kirchhoff_integral_dd) — unroll at trace time; the
+                    # kernel-compile dedup only matters on TPU anyway
+                    for di, si in pairs:
+                        acc5 = one_pair(acc5, di * Td, si * Ts, kfn)
+                else:
+                    dstarts = jnp.asarray([di * Td for di, _ in pairs],
+                                          jnp.int32)
+                    sstarts = jnp.asarray([si * Ts for _, si in pairs],
+                                          jnp.int32)
+
+                    def body(acc, st, kfn=kfn):
+                        return one_pair(acc, st[0], st[1], kfn), None
+
+                    acc5, _ = jax.lax.scan(body, acc5,
+                                           (dstarts, sstarts))
+            Es, Ep, aE, bE, cE = (a[:Nd_] for a in acc5)
+        elif mesh is not None:
+            # dst-sharded (or ring) multi-device integral: flatten the
+            # (hi, lo) tuples for the generic sharded caller
+            from .parallel import dst_sharded_call
+            n_b = [jnp.broadcast_to(jnp.asarray(ni), oeLocal.x.shape)
+                   for ni in n]
+
+            def _flat_kfn(xh, xl, yh, yl, zh, zl, sxh, sxl, syh, syl,
+                          szh, szl, Es_, Ep_, kh_, kl_, n0_, n1_, n2_,
+                          nl_, w_):
+                return kfn((xh, xl), (yh, yl), (zh, zl),
+                           (sxh, sxl), (syh, syl), (szh, szl),
+                           Es_, Ep_, (kh_, kl_), [n0_, n1_, n2_],
+                           nl_, w_)
+
+            src_flat = ([a for hl in src_t for a in hl] +
+                        [oeLocal.Es, oeLocal.Ep, kh, kl] + n_b + [nl, w])
+            src_pad = (['edge'] * 6 + ['zero', 'zero', 'edge', 'edge'] +
+                       ['edge'] * 3 + ['edge', 'zero'])
+            Es, Ep, aE, bE, cE = dst_sharded_call(
+                mesh, _flat_kfn, [a for hl in dst_t for a in hl],
+                src_flat, ring=ring, src_pad=src_pad)
         else:
             Es, Ep, aE, bE, cE = kfn(
                 *dst_t, *src_t,
                 oeLocal.Es, oeLocal.Ep, (kh, kl), n, nl, w)
+    elif mesh is not None:
+        from .parallel import dst_sharded_call
+        n_b = [jnp.broadcast_to(jnp.asarray(ni), oeLocal.x.shape)
+               for ni in n]
+
+        def _flat_xla(xd_, yd_, zd_, xs_, ys_, zs_, Es_, Ep_, k_, n0_,
+                      n1_, n2_, nl_, w_):
+            return kirchhoff_integral_xla(xd_, yd_, zd_, xs_, ys_, zs_,
+                                          Es_, Ep_, k_, [n0_, n1_, n2_],
+                                          nl_, w_)
+
+        src_pad = (['edge'] * 3 + ['zero', 'zero', 'edge'] +
+                   ['edge'] * 3 + ['edge', 'zero'])
+        Es, Ep, aE, bE, cE = dst_sharded_call(
+            mesh, _flat_xla,
+            [wave.xDiffr, wave.yDiffr, wave.zDiffr],
+            [oeLocal.x, oeLocal.y, oeLocal.z, oeLocal.Es, oeLocal.Ep,
+             k] + n_b + [nl, w],
+            ring=ring, src_pad=src_pad)
     else:
         Es, Ep, aE, bE, cE = kirchhoff_integral_xla(
             wave.xDiffr, wave.yDiffr, wave.zDiffr,
@@ -813,6 +976,29 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
         seededI=None if oeLocal.seededI is None else oeLocal.seededI)
 
     toOE = wave.toOE
+    if (toOE is None or not hasattr(toOE, 'rotationSequence')) and \
+            hasattr(oe, 'rotationSequence'):
+        # aperture/screen receiver fed by an OE: the raw accumulators are
+        # in the fromOE's ROLLED s/p basis; the reference rotates them to
+        # the virgin/global basis by the fromOE's roll (waves.py:771-779,
+        # verified against the reference run: for a positionRoll=-pi/2
+        # mirror the output Es is -EpAcc*sqrt(norm)).  Without this, a
+        # sideways-deflecting mirror followed by a slit hop mislabels
+        # s and p and every later reflectivity is applied to the wrong
+        # component.  Pure basis rotation: Jss+Jpp (flux) is unchanged.
+        rollAngle = jnp.asarray(oe.roll) + \
+            jnp.asarray(getattr(oe, 'positionRoll', 0.0))
+        apply = True
+        if not isinstance(rollAngle, jax.core.Tracer):
+            apply = float(rollAngle) != 0.0
+        if apply:
+            cosY = jnp.cos(rollAngle)
+            sinY = jnp.sin(rollAngle)
+            EsR, EpR = rotate_y(out.Es, out.Ep, cosY, sinY)
+            JssR, JppR, JspR = rotate_coherency_matrix(
+                out.Jss, out.Jpp, out.Jsp, rollAngle)
+            out = out.replace(Es=EsR, Ep=EpR,
+                              Jss=JssR, Jpp=JppR, Jsp=JspR)
     if toOE is not None and hasattr(toOE, 'rotationSequence'):
         # the receiver is an OE: rotate into its frame and project the flux
         # onto the (generally grazing) surface (reference waves.py:772-824).
@@ -945,6 +1131,14 @@ def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
     return 'recentred', 'mxu'
 
 
+def _tile_bounds(N, ntiles):
+    """(tile_size, starts): uniform ceil-division tiling of range(N).
+    The last tile may extend past N; callers edge-pad the arrays to
+    ntiles*tile_size (diffract) or clip the slice (choose_tile_modes)."""
+    T = -(-N // ntiles)
+    return T, [i * T for i in range(ntiles)]
+
+
 def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None):
     """Per-tile-pair kernel modes for :func:`diffract` blockwise tiling.
 
@@ -958,17 +1152,23 @@ def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None):
     phase only near the contact region."""
     Nd = len(np.asarray(dst_xyz[0]))
     Ns = len(np.asarray(src_xyz[0]))
-    db = np.linspace(0, Nd, n_dst_tiles + 1).astype(int)
-    sb = np.linspace(0, Ns, n_src_tiles + 1).astype(int)
+    # the same uniform tiling diffract() uses (its scan needs equal-size
+    # tiles); the last tile is clipped here and edge-padded there
+    Td, dstarts = _tile_bounds(Nd, n_dst_tiles)
+    Ts, sstarts = _tile_bounds(Ns, n_src_tiles)
     modes = []
     for di in range(n_dst_tiles):
         row = []
-        dsl = slice(db[di], db[di + 1])
+        dsl = slice(dstarts[di], min(dstarts[di] + Td, Nd))
         dxyz = tuple(np.asarray(v)[dsl] for v in dst_xyz)
         for si in range(n_src_tiles):
-            ssl = slice(sb[si], sb[si + 1])
+            ssl = slice(sstarts[si], min(sstarts[si] + Ts, Ns))
             sxyz = tuple(np.asarray(v)[ssl] for v in src_xyz)
-            row.append(choose_kirchhoff_mode(dxyz, sxyz, k))
+            if dxyz[0].size == 0 or sxyz[0].size == 0:
+                # empty clipped tile: contributes nothing; any mode works
+                row.append(('recentred', 'mxu'))
+            else:
+                row.append(choose_kirchhoff_mode(dxyz, sxyz, k))
         modes.append(row)
     return modes
 
@@ -1037,6 +1237,31 @@ def _shine_or_diffract(wave, waveOnSelf, key, fixedEnergy=None, **dkw):
     return diffract(wave, waveOnSelf, **dkw)
 
 
+def reflect_wave(oe, b, key=None, **kwargs):
+    """Reflect a diffracted wave at its receiving OE surface, preserving
+    the receiver's EXACT local sample coordinates.
+
+    ``oe.reflect(wave_to_global(b))`` round-trips the positions through
+    global coordinates; in float32 that quantizes them at
+    ulp(|center|) ~ 1e-3 mm for a 20-m beamline — hundreds of radians
+    of per-sample phase noise for the NEXT Kirchhoff hop (the receiving
+    geometry itself is exact: prepare_wave carries f64-derived
+    residuals, but the beam's local x/y/z would not survive the round
+    trip).  The wave's own x/y/z ARE the exact surface samples, so they
+    (and s/phi for parametric surfaces) are restored on the local
+    output.  In float64 this is a no-op to ~1e-12.
+
+    Returns (beamGlobal, beamLocal) like reflect."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    glo, loc = oe.reflect(wave_to_global(b), key,
+                          noIntersectionSearch=True, **kwargs)
+    loc = loc.replace(x=b.x, y=b.y, z=b.z)
+    if b.s is not None:
+        loc = loc.replace(s=b.s, phi=b.phi)
+    return glo, loc
+
+
 def propagate_wave_to_oe(oe, wave, nrays='auto', key=None,
                          fixedEnergy=None, prevOE=None, **dkw):
     """One-call wave hop onto an OE and reflection at its surface
@@ -1059,8 +1284,7 @@ def propagate_wave_to_oe(oe, wave, nrays='auto', key=None,
     waveOnSelf = prepare_wave_on_oe(oe, prevOE, n, key=k1)
     waveOnSelf = _shine_or_diffract(wave, waveOnSelf, k2,
                                     fixedEnergy=fixedEnergy, **dkw)
-    glo = wave_to_global(waveOnSelf)
-    retGlo, retLoc = oe.reflect(glo, noIntersectionSearch=True)
+    retGlo, retLoc = reflect_wave(oe, waveOnSelf)
     if retLoc.area is None:
         retLoc = retLoc.replace(area=waveOnSelf.area)
     return retGlo, retLoc
