@@ -97,3 +97,92 @@ def test_set_pitch_moves_focus(ui):
     # restore for other tests
     _post(base + '/api/set', {'element': 'mirror', 'param': 'pitch',
                               'value': PITCH})
+
+
+@pytest.fixture(scope='module')
+def asmui():
+    """An EMPTY beamline served in assembly mode (flow=None)."""
+    srv = WebUI(BeamLine(alignE=9000.0, name='assembled'), port=0).start()
+    yield srv
+    srv.stop()
+
+
+def test_assemble_flagship_beamline(asmui):
+    """VERDICT r3 #4 acceptance: build the flagship undulator -> DCM ->
+    toroid -> screen beamline from an empty page over the HTTP API
+    (class registry + catalog materials + auto-alignment), trace it
+    live, save the layout, reload it."""
+    base = f'http://{asmui.host}:{asmui.port}'
+    reg = _get(base + '/api/registry')
+    assert 'Undulator' in reg['classes'] and 'DCM' in reg['classes']
+    assert 'Si' in reg['materials']['crystals']
+    assert 'Rh' in reg['materials']['elemental']
+    assert 'period' in reg['classes']['Undulator']
+
+    r = _post(base + '/api/add', {
+        'name': 'src', 'class': 'Undulator',
+        'params': {'nrays': 2000, 'eE': 3.0, 'eI': 0.5, 'period': 18.0,
+                   'n': 111, 'targetE': [9000.0, 7],
+                   'eMin': 8996.0, 'eMax': 9004.0,
+                   'xPrimeMax': 0.02, 'zPrimeMax': 0.02,
+                   'eEpsilonX': 0.263, 'eEpsilonZ': 0.008,
+                   'betaX': 9.0, 'betaZ': 2.0, 'gNodes': 32}})
+    assert r.get('ok'), r
+    r = _post(base + '/api/add', {
+        'name': 'dcm', 'class': 'DCM', 'distance': 30000.0,
+        'autoBragg': True,
+        'material': {'catalog': 'crystals', 'name': 'Si',
+                     'hkl': [1, 1, 1]},
+        'params': {'fixedOffset': 20.0, 'limPhysX': [-50, 50],
+                   'limPhysY': [-500, 500], 'alignE': 9000.0}})
+    assert r.get('ok'), r
+    p_t, q_t, pitch_t = 36000.0, 12000.0, 4e-3
+    R = 2 * p_t * q_t / (p_t + q_t) / math.sin(pitch_t)
+    rr = 2 * p_t * q_t / (p_t + q_t) * math.sin(pitch_t)
+    r = _post(base + '/api/add', {
+        'name': 'toroid', 'class': 'ToroidMirror', 'distance': 6000.0,
+        'pitch': pitch_t,
+        'material': {'catalog': 'elemental', 'name': 'Rh'},
+        'params': {'R': R, 'r': rr, 'limPhysX': [-20, 20],
+                   'limPhysY': [-400, 400]}})
+    assert r.get('ok'), r
+    r = _post(base + '/api/add', {
+        'name': 'det', 'class': 'Screen', 'distance': 12000.0})
+    assert r.get('ok'), r
+    assert r['elements'] == ['src', 'dcm', 'toroid', 'det']
+
+    # live trace: monochromatized flux reaches the detector
+    d = _get(base + '/api/hist?beam=det')
+    assert d['nGood'] > 100 and d['flux'] > 0
+    scene = _get(base + '/api/scene')
+    assert {'src', 'dcm', 'toroid', 'det'} <= {
+        e['name'] for e in scene['elements']}
+
+    # probe slider (xrtGlow draggable screen): the beam focuses toward
+    # q=12000 mm downstream of the toroid
+    d_far = _get(base + '/api/probe?beam=toroid&d=11500')
+    d_near = _get(base + '/api/probe?beam=toroid&d=3000')
+    assert d_far['fwhm_z'] < d_near['fwhm_z']
+
+    # save -> reload round trip
+    with urllib.request.urlopen(base + '/api/layout', timeout=60) as rr_:
+        layout = rr_.read().decode()
+    assert '"Undulator"' in layout and '"DCM"' in layout
+    with urllib.request.urlopen(base + '/api/codegen', timeout=60) as rc:
+        script = rc.read().decode()
+    assert 'Undulator' in script and 'run_process' in script
+    r = _post(base + '/api/load', {'json': layout})
+    assert r.get('ok'), r
+    assert set(r['elements']) == {'src', 'dcm', 'toroid', 'det'}
+    d2 = _get(base + '/api/hist?beam=det')
+    assert d2['nGood'] > 100 and d2['flux'] > 0
+
+    # remove + reorder surfaces
+    r = _post(base + '/api/remove', {'name': 'det'})
+    assert r.get('ok') and 'det' not in r['elements']
+    r = _post(base + '/api/add', {
+        'name': 'det', 'class': 'Screen', 'distance': 12000.0})
+    assert r.get('ok'), r
+    r = _post(base + '/api/reorder',
+              {'order': ['src', 'dcm', 'toroid', 'det']})
+    assert r.get('ok'), r

@@ -136,6 +136,26 @@ class BeamLine:
     def __getitem__(self, name):
         return self._elements[name]
 
+    def remove(self, name: str):
+        """Unregister *name* and drop its flow step (browser-assembly
+        analog of deleting a tree node in the reference xrtQook,
+        qookbase.py)."""
+        el = self._elements.pop(name)
+        for lst in (self.sources, self.oes, self.slits, self.screens):
+            if el in lst:
+                lst.remove(el)
+        self.flow = [s for s in self.flow if s[0] != name]
+        return el
+
+    def reorder(self, names):
+        """Reorder the default flow to match *names* (every current flow
+        name must appear exactly once)."""
+        steps = {s[0]: s for s in self.flow}
+        if sorted(names) != sorted(steps):
+            raise ValueError(f'reorder needs exactly {sorted(steps)}, '
+                             f'got {sorted(names)}')
+        self.flow = [steps[n] for n in names]
+
     def update(self, name, element):
         """Replace a registered element (elements are immutable pytrees; a
         modified copy goes back through here)."""

@@ -12,12 +12,31 @@ histogram; editing a parameter re-runs the dirty part of the recorded
 flow (flow.replay) and refreshes both — the browser twin of the EPICS
 AutoUpdate mode served by server.py.
 
+Since round 4 the page also ASSEMBLES beamlines (the full xrtQook
+capability, qookbase.py:2-31): add/remove/reorder elements from the
+class registry with materials picked from the catalogs, auto-aligned on
+the optical axis (BeamLine.place), save/load the JSON layout, download
+the generated python script (codegen), and sweep a virtual probe screen
+along the beam with a live histogram (the xrtGlow draggable-screen
+analog, gui/xrtGlow/widgets/main.py).
+
 Endpoints (JSON):
     GET  /api/elements          {name: {param: value}}
     GET  /api/beams             [beam keys in flow order]
     GET  /api/hist?beam=K       2D histogram + flux/centroid/FWHM readouts
     GET  /api/scene             glow wireframes + ray segments
+    GET  /api/registry          addable classes + create() defaults +
+                                material catalogs
+    GET  /api/layout            the beamline's JSON layout (download)
+    GET  /api/codegen           generated runnable python script
+    GET  /api/probe?beam&d      histogram on a virtual screen *d* mm
+                                downstream of the selected beam
     POST /api/set               {"element","param","value"} -> re-trace
+    POST /api/add               {"name","class","params",["material"],
+                                ["distance"|"center"],["pitch"]}
+    POST /api/remove            {"name"}
+    POST /api/reorder           {"order": [names]}
+    POST /api/load              {"json": layout-text} -> rebuild
 """
 from __future__ import annotations
 
@@ -49,10 +68,81 @@ def _fwhm(x, w):
     return float((above[-1] - above[0] + 1) * (edges[1] - edges[0]))
 
 
-class WebUI:
-    """HTTP wrapper around a beamline + recorded flow."""
+# addable element classes for the assembly registry: (module, class)
+_REGISTRY = (
+    ('sources', 'GeometricSource'), ('sources', 'GaussianBeam'),
+    ('sources', 'Undulator'), ('sources', 'BendingMagnet'),
+    ('sources', 'Wiggler'),
+    ('oes', 'FlatMirror'), ('oes', 'BentFlatMirror'),
+    ('oes', 'ToroidMirror'), ('oes', 'EllipticalMirrorParam'),
+    ('oes', 'ParabolicalMirrorParam'), ('oes', 'ConicalMirror'),
+    ('oes.dcm', 'DCM'), ('oes', 'BlazedGrating'),
+    ('oes', 'LaminarGrating'), ('oes.gratings', 'NormalFZP'),
+    ('oes.refractive', 'Plate'), ('oes.refractive', 'ParaboloidFlatLens'),
+    ('oes.bragg', 'JohannCylinder'), ('oes.laue', 'BentLaueCylinder'),
+    ('apertures', 'RectangularAperture'), ('apertures', 'RoundAperture'),
+    ('screens', 'Screen'), ('screens', 'HemisphericScreen'),
+)
 
-    def __init__(self, bl, flow, host='127.0.0.1', port=0, bins=80,
+
+def _registry_class(clsName):
+    import importlib
+    for mod, cls in _REGISTRY:
+        if cls == clsName:
+            m = importlib.import_module('.' + mod, 'xrt_tpu')
+            return getattr(m, cls)
+    raise KeyError(f'unknown element class {clsName!r}; '
+                   f'see /api/registry')
+
+
+def _create_defaults(cls):
+    """JSON-serializable create() parameter defaults across the MRO."""
+    import inspect
+    out = {}
+    for c in reversed(getattr(cls, '__mro__', (cls,))):
+        fn = c.__dict__.get('create')
+        if fn is None:
+            continue
+        fn = getattr(fn, '__func__', fn)
+        for p in inspect.signature(fn).parameters.values():
+            if p.name in ('cls', 'kwargs') or \
+                    p.kind not in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
+                continue
+            d = p.default
+            if d is inspect.Parameter.empty:
+                out.setdefault(p.name, None)
+            elif isinstance(d, (int, float, str, bool, type(None))):
+                out[p.name] = d
+            elif isinstance(d, (tuple, list)):
+                out[p.name] = list(d)
+    return out
+
+
+def _material_from_spec(spec):
+    """Build a material from a catalog spec {"catalog","name",...} —
+    the browser picks from the 38/92/76-entry catalogs."""
+    from .materials import catalogs
+    cat = spec.get('catalog', 'elemental')
+    name = spec['name']
+    kw = {k: v for k, v in spec.items() if k not in ('catalog', 'name')}
+    if cat == 'crystals':
+        if 'hkl' in kw:
+            kw['hkl'] = tuple(kw['hkl'])
+        return catalogs.crystal(name, **kw)
+    if cat == 'compounds':
+        return catalogs.compound(name, **kw)
+    return catalogs.elemental(name, **kw)
+
+
+class WebUI:
+    """HTTP wrapper around a beamline (+ optionally a recorded flow).
+
+    With *flow=None* the results come from ``bl.propagate_flow`` on the
+    beamline's default flow — the mode used for in-browser assembly
+    (starting from an empty BeamLine is fine: trace results appear once
+    a source is added)."""
+
+    def __init__(self, bl, flow=None, host='127.0.0.1', port=0, bins=80,
                  maxRays=150):
         self.bl = bl
         self.flow = flow
@@ -61,7 +151,7 @@ class WebUI:
         self.maxRays = maxRays
         self._repl: Dict[str, object] = {}
         self._lock = threading.Lock()
-        self._results = flow.replay()
+        self._results = self._trace()
         ui = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -92,6 +182,17 @@ class WebUI:
                         self._send(ui.api_hist(q.get('beam')))
                     elif u.path == '/api/scene':
                         self._send(ui.api_scene())
+                    elif u.path == '/api/registry':
+                        self._send(ui.api_registry())
+                    elif u.path == '/api/layout':
+                        self._send(ui.api_layout().encode(),
+                                   'application/json')
+                    elif u.path == '/api/codegen':
+                        self._send(ui.api_codegen().encode(),
+                                   'text/x-python; charset=utf-8')
+                    elif u.path == '/api/probe':
+                        self._send(ui.api_probe(
+                            q.get('beam'), float(q.get('d', 0.0))))
                     else:
                         self._send({'error': 'not found'}, code=404)
                 except Exception as e:
@@ -102,10 +203,19 @@ class WebUI:
                 try:
                     n = int(self.headers.get('Content-Length', 0))
                     req = json.loads(self.rfile.read(n) or b'{}')
-                    if urlparse(self.path).path == '/api/set':
+                    path = urlparse(self.path).path
+                    if path == '/api/set':
                         self._send(ui.api_set(req['element'],
                                               req['param'],
                                               req['value']))
+                    elif path == '/api/add':
+                        self._send(ui.api_add(req))
+                    elif path == '/api/remove':
+                        self._send(ui.api_remove(req['name']))
+                    elif path == '/api/reorder':
+                        self._send(ui.api_reorder(req['order']))
+                    elif path == '/api/load':
+                        self._send(ui.api_load(req['json']))
                     else:
                         self._send({'error': 'not found'}, code=404)
                 except Exception as e:
@@ -115,6 +225,17 @@ class WebUI:
         self.server = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.server.server_address
         self._thread: Optional[threading.Thread] = None
+
+    # -- tracing ---------------------------------------------------------
+    def _trace(self):
+        """Current results: the recorded flow's replay, or (assembly
+        mode) a propagate_flow pass over the beamline's default flow."""
+        if self.flow is not None:
+            return self.flow.replay(replace=self._repl)
+        if not self.bl.flow:
+            return {}
+        import jax
+        return self.bl.propagate_flow(jax.random.PRNGKey(0))
 
     # -- api ------------------------------------------------------------
     def api_elements(self):
@@ -148,7 +269,7 @@ class WebUI:
             self.bl.update(name, new)
             self._repl[name] = new
             try:
-                self._results = self.flow.replay(replace=self._repl)
+                self._results = self._trace()
             except Exception:
                 # roll back so a failing value cannot poison every
                 # subsequent replay (the old results stay displayed)
@@ -160,6 +281,172 @@ class WebUI:
                     del self._repl[name]
                 raise
             return {'ok': True}
+
+    # -- assembly --------------------------------------------------------
+    def api_registry(self):
+        from .materials.catalogs import (list_crystals, list_elemental,
+                                         list_compounds)
+        classes = {}
+        for mod, cls in _REGISTRY:
+            classes[cls] = _create_defaults(_registry_class(cls))
+        return {'classes': classes,
+                'materials': {'crystals': list_crystals(),
+                              'elemental': list_elemental(),
+                              'compounds': list_compounds()}}
+
+    def api_add(self, req):
+        """Create + register an element; with "distance" it is placed on
+        the current optical axis by BeamLine.place (auto center, auto
+        Bragg pitch from the material at alignE — the assembly analog of
+        the reference's auto-alignment, beamline.py:368-508)."""
+        with self._lock:
+            if self.flow is not None:
+                raise ValueError('assembly needs flow=None mode '
+                                 '(WebUI(bl) without a recorded flow)')
+            name = req['name']
+            if name in self.bl._elements:
+                raise ValueError(f'element {name!r} already exists')
+            cls = _registry_class(req['class'])
+            params = dict(req.get('params') or {})
+            for k, v in list(params.items()):
+                if isinstance(v, list):
+                    params[k] = tuple(v)
+            if req.get('material'):
+                params['material'] = _material_from_spec(req['material'])
+            try:
+                if req.get('distance') is not None:
+                    kw = dict(params)
+                    kw.pop('pitch', None)
+                    if req.get('autoBragg'):
+                        pitch = 'auto'
+                    elif req.get('pitch') is not None:
+                        pitch = float(req['pitch'])
+                    else:
+                        pitch = params.get('pitch')
+                    self.bl.place(name, cls,
+                                  distance=float(req['distance']),
+                                  pitch=pitch,
+                                  bragg_material=kw.get('material'),
+                                  **kw)
+                else:
+                    el = cls.create(**params) if hasattr(cls, 'create') \
+                        else cls(**params)
+                    self.bl.add(name, el)
+                self._results = self._trace()
+            except Exception:
+                if name in self.bl._elements:
+                    self.bl.remove(name)
+                self.elements = dict(self.bl._elements)
+                raise
+            self.elements = dict(self.bl._elements)
+            return {'ok': True, 'elements': list(self.elements)}
+
+    def api_remove(self, name):
+        with self._lock:
+            if self.flow is not None:
+                raise ValueError('assembly needs flow=None mode')
+            self.bl.remove(name)
+            self._repl.pop(name, None)
+            self.elements = dict(self.bl._elements)
+            self._results = self._trace()
+            return {'ok': True, 'elements': list(self.elements)}
+
+    def api_reorder(self, order):
+        with self._lock:
+            if self.flow is not None:
+                raise ValueError('assembly needs flow=None mode')
+            self.bl.reorder(list(order))
+            self._results = self._trace()
+            return {'ok': True, 'order': [s[0] for s in self.bl.flow]}
+
+    def api_layout(self):
+        with self._lock:
+            return self.bl.export_to_json()
+
+    def api_load(self, text):
+        """Rebuild the whole beamline from a JSON layout (switches to
+        assembly mode: a recorded flow cannot survive the swap)."""
+        from .beamline import BeamLine
+        with self._lock:
+            bl = BeamLine.load_from_json(text)
+            self.bl = bl
+            self.flow = None
+            self._repl = {}
+            self.elements = dict(bl._elements)
+            self._results = self._trace()
+            return {'ok': True, 'elements': list(self.elements)}
+
+    def api_codegen(self):
+        from .codegen import generate_script
+        with self._lock:
+            return generate_script(json.loads(self.bl.export_to_json()))
+
+    def api_probe(self, beam_key, d):
+        """Histogram on a virtual screen *d* mm downstream of the
+        selected beam — the xrtGlow draggable-screen analog: drag the
+        slider, watch the focus form (gui/xrtGlow/widgets/main.py)."""
+        from .screens import Screen
+        with self._lock:
+            beams = self._beams()
+            if not beams:
+                return {'error': 'no beams'}
+            if beam_key is None or beam_key not in beams:
+                beam_key = list(beams)[-1]
+            b = beams[beam_key]
+            good = np.asarray(b.state) == 1
+            if good.sum() < 2:
+                return {'error': 'no good rays'}
+            pos = np.asarray([np.asarray(b.x)[good].mean(),
+                              np.asarray(b.y)[good].mean(),
+                              np.asarray(b.z)[good].mean()])
+            dirv = np.asarray([np.asarray(b.a)[good].mean(),
+                               np.asarray(b.b)[good].mean(),
+                               np.asarray(b.c)[good].mean()])
+            dirv = dirv / np.linalg.norm(dirv)
+            # orthonormal screen frame: x horizontal-ish, z completes
+            up = np.array([0.0, 0.0, 1.0])
+            if abs(dirv @ up) > 0.99:
+                up = np.array([0.0, 1.0, 0.0])
+            ex = np.cross(up, dirv)
+            ex /= np.linalg.norm(ex)
+            ez = np.cross(dirv, ex)
+            scr = Screen.create(center=tuple(pos + dirv * d),
+                                x=tuple(ex), z=tuple(ez))
+            img = scr.expose(b)
+            out = self._hist_payload(img)
+            out['beam'] = beam_key
+            out['d'] = d
+            return out
+
+    def _hist_payload(self, b):
+        good = np.asarray(b.state) == 1
+        x = np.asarray(b.x)
+        z = np.asarray(b.z)
+        w = np.where(good, np.asarray(b.Jss) + np.asarray(b.Jpp), 0.0)
+        tot = float(w.sum())
+        if tot > 0 and good.sum() > 1:
+            xg, zg, wg = x[good], z[good], w[good]
+            cx = float((xg * wg).sum() / tot)
+            cz = float((zg * wg).sum() / tot)
+            sx = max(np.percentile(np.abs(xg - cx), 98) * 1.3, 1e-9)
+            sz = max(np.percentile(np.abs(zg - cz), 98) * 1.3, 1e-9)
+            rng = [[cx - sx, cx + sx], [cz - sz, cz + sz]]
+            h, xe, ze = np.histogram2d(xg, zg, bins=self.bins,
+                                       range=rng, weights=wg)
+            fx = _fwhm(xg, wg)
+            fz = _fwhm(zg, wg)
+        else:
+            h = np.zeros((self.bins, self.bins))
+            xe = ze = np.linspace(-1, 1, self.bins + 1)
+            cx = cz = fx = fz = 0.0
+        hmax = h.max() or 1.0
+        return {
+            'h': np.round(h.T / hmax, 4).tolist(),   # rows = z
+            'extent': [float(xe[0]), float(xe[-1]),
+                       float(ze[0]), float(ze[-1])],
+            'flux': tot, 'nGood': int(good.sum()),
+            'cx': cx, 'cz': cz, 'fwhm_x': fx, 'fwhm_z': fz,
+        }
 
     def api_hist(self, beam_key=None):
         with self._lock:
@@ -250,8 +537,39 @@ _PAGE = """<!DOCTYPE html>
  #readouts .v { color:#8f8; font-family:monospace; }
  select { background:#0c0c14; color:#ddd; border:1px solid #444; }
  #status { color:#f88; }
+ #toolbar button, #addform button, .loadlab { background:#223;
+   color:#8cf; border:1px solid #446; cursor:pointer; font:12px
+   sans-serif; margin:1px; padding:2px 6px; display:inline-block; }
+ #addform { background:#14141e; border:1px solid #334; padding:6px;
+   margin:4px 0; }
+ #addform input, #addform textarea, #addform select {
+   background:#0c0c14; color:#cfc; border:1px solid #444;
+   font:12px monospace; }
+ .del { float:right; background:none; border:none; color:#f66;
+   cursor:pointer; }
 </style></head><body>
-<div id="tree"><h3>__TITLE__</h3><div id="els"></div>
+<div id="tree"><h3>__TITLE__</h3>
+ <div id="toolbar">
+  <button id="addbtn">+ add element</button>
+  <button id="savebtn">save layout</button>
+  <button id="codebtn">python script</button>
+  <label class="loadlab">load<input type="file" id="loadfile"
+   style="display:none"></label>
+ </div>
+ <div id="addform" style="display:none">
+  <div>class <select id="addclass"></select></div>
+  <div>name <input id="addname" size="10"></div>
+  <div>distance <input id="adddist" size="8"
+       placeholder="auto-align mm"></div>
+  <div>pitch <input id="addpitch" size="8" placeholder="rad|auto"></div>
+  <div>material <select id="addmat"><option value="">none</option>
+   </select></div>
+  <div>params <textarea id="addparams" rows="3" cols="28"
+       placeholder='{"limPhysX": [-20, 20]}'></textarea></div>
+  <button id="addgo">create</button>
+  <button id="addcancel">cancel</button>
+ </div>
+ <div id="els"></div>
  <div id="status"></div></div>
 <div id="main">
  <div id="view3d"><canvas id="c3d"></canvas></div>
@@ -265,6 +583,9 @@ _PAGE = """<!DOCTYPE html>
    <div>center <span class="v" id="cen"></span> mm</div>
    <div>FWHM <span class="v" id="fwhm"></span> mm</div>
    <div>window <span class="v" id="ext"></span> mm</div>
+   <div id="proberow">probe +<input type="range" id="probe" min="0"
+    max="5000" step="10" value="0" style="width:120px">
+    <span class="v" id="probed">0</span> mm</div>
   </div>
  </div>
 </div>
@@ -282,6 +603,16 @@ async function buildTree() {
   for (const [name, params] of Object.entries(els)) {
     const d = document.createElement('details');
     const s = document.createElement('summary'); s.textContent = name;
+    const del = document.createElement('button');
+    del.textContent = '✕'; del.className = 'del';
+    del.onclick = async ev => {
+      ev.preventDefault();
+      $('status').textContent = 'removing...';
+      const r = await jpost('/api/remove', {name: name});
+      $('status').textContent = r.error || '';
+      buildTree(); refresh();
+    };
+    s.appendChild(del);
     d.appendChild(s);
     for (const [p, v] of Object.entries(params)) {
       if (Array.isArray(v)) continue;           // vectors read-only
@@ -311,17 +642,25 @@ const turbo = t => {     // compact inferno-like colormap
 };
 async function drawHist() {
   const sel = $('beamsel');
-  const q = sel.value ? ('?beam=' + encodeURIComponent(sel.value)) : '';
-  const d = await jget('/api/hist' + q);
+  const probeD = parseFloat($('probe').value) || 0;
+  const q = (sel.value ? ('?beam=' + encodeURIComponent(sel.value)) : '?x=1');
+  const d = probeD > 0 ?
+    await jget('/api/probe' + q + '&d=' + probeD) :
+    await jget('/api/hist' + q);
   if (d.error) { $('status').textContent = d.error; return; }
-  if (!sel.options.length) {
-    const beams = await jget('/api/beams');
-    beams.forEach(b => {
-      const o = document.createElement('option');
-      o.value = o.textContent = b; sel.appendChild(o); });
-    sel.value = d.beam;
-    sel.onchange = drawHist;
-  }
+  sel.onchange = () => { refreshBeams(); drawHist(); };
+  renderHist(d);
+}
+async function refreshBeams() {
+  const sel = $('beamsel'), cur = sel.value;
+  const beams = await jget('/api/beams');
+  sel.innerHTML = '';
+  beams.forEach(b => {
+    const o = document.createElement('option');
+    o.value = o.textContent = b; sel.appendChild(o); });
+  sel.value = beams.includes(cur) ? cur : beams[beams.length-1] || '';
+}
+function renderHist(d) {
   const n = d.h.length, cv = $('hist'), ctx = cv.getContext('2d');
   const img = ctx.createImageData(n, n);
   for (let i = 0; i < n; i++)          // rows = z, bottom-up
@@ -412,7 +751,74 @@ c3.onwheel = e => { zoom *= Math.exp(-e.deltaY*0.001); draw3();
 async function drawScene() {
   SCENE = await jget('/api/scene'); setBounds(); draw3();
 }
-async function refresh() { await Promise.all([drawHist(), drawScene()]); }
+async function refresh() {
+  await refreshBeams();
+  await Promise.all([drawHist(), drawScene()]);
+}
+
+// ---- assembly toolbar ----
+let REG = null;
+async function loadRegistry() {
+  REG = await jget('/api/registry');
+  const cs = $('addclass'); cs.innerHTML = '';
+  Object.keys(REG.classes).forEach(c => {
+    const o = document.createElement('option');
+    o.value = o.textContent = c; cs.appendChild(o); });
+  const ms = $('addmat');
+  for (const [cat, names] of Object.entries(REG.materials)) {
+    const g = document.createElement('optgroup'); g.label = cat;
+    names.forEach(nm => {
+      const o = document.createElement('option');
+      o.value = cat + ':' + nm; o.textContent = nm; g.appendChild(o); });
+    ms.appendChild(g);
+  }
+}
+$('addbtn').onclick = () => {
+  $('addform').style.display =
+    $('addform').style.display === 'none' ? 'block' : 'none';
+  if (!REG) loadRegistry();
+};
+$('addcancel').onclick = () => $('addform').style.display = 'none';
+$('addgo').onclick = async () => {
+  const body = {name: $('addname').value,
+                'class': $('addclass').value};
+  try { body.params = JSON.parse($('addparams').value || '{}'); }
+  catch (e) { $('status').textContent = 'bad params JSON'; return; }
+  const dist = parseFloat($('adddist').value);
+  if (!isNaN(dist)) body.distance = dist;
+  const pv = $('addpitch').value.trim();
+  if (pv === 'auto') body.autoBragg = true;
+  else if (pv) body.pitch = parseFloat(pv);
+  const mv = $('addmat').value;
+  if (mv) {
+    const [cat, nm] = mv.split(':');
+    body.material = {catalog: cat, name: nm};
+    if (cat === 'crystals' && body.params.hkl) {
+      body.material.hkl = body.params.hkl; delete body.params.hkl;
+    }
+  }
+  $('status').textContent = 'creating...';
+  const r = await jpost('/api/add', body);
+  $('status').textContent = r.error || '';
+  if (!r.error) $('addform').style.display = 'none';
+  buildTree(); refresh();
+};
+$('savebtn').onclick = () => window.open('/api/layout');
+$('codebtn').onclick = () => window.open('/api/codegen');
+$('loadfile').onchange = async ev => {
+  const f = ev.target.files[0];
+  if (!f) return;
+  const text = await f.text();
+  $('status').textContent = 'loading...';
+  const r = await jpost('/api/load', {json: text});
+  $('status').textContent = r.error || '';
+  buildTree(); refresh();
+};
+document.querySelector('.loadlab').onclick = () => $('loadfile').click();
+$('probe').oninput = () => {
+  $('probed').textContent = $('probe').value;
+  drawHist();
+};
 buildTree(); resize3(); refresh();
 </script></body></html>
 """
