@@ -190,17 +190,25 @@ def bench_kirchhoff(verbose=False):
     # an extra key
     def wrapped(mono, acc, xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
         zero = jnp.zeros_like(esr)
+        # dst_tile=256: +2% over the 128 default on v5e for the 'mxu*'
+        # accumulation (hardware sweep in PERF.md; 256 x 4096 exceeds
+        # the 16M scoped-vmem budget, 256 x 2048 fits)
         out = kirchhoff_integral_pallas(
             xd, yd, zd, xs, ys, zs, esr + 1j * esi, zero + 0j, k,
-            [zero, n1, zero], nl, w, monochromatic=mono, accumulate=acc)
+            [zero, n1, zero], nl, w, monochromatic=mono, accumulate=acc,
+            dst_tile=256)
         # scalar digest of all five accumulators
         return sum(jnp.sum(o.real) + jnp.sum(o.imag) for o in out)
 
     fns = {
-        # the production default ('mxu' accumulation, f32-class fields) is
-        # the headline; bf16 single-pass and polychromatic are extra keys
-        'mono': jax.jit(functools.partial(wrapped, True, 'mxu')),
-        'poly': jax.jit(functools.partial(wrapped, False, 'mxu')),
+        # the headline runs what the production mode chooser
+        # (waves.choose_kirchhoff_mode) selects for this geometry:
+        # 'mxu2' — two-pass bf16 fields with the two-term 1/A direction
+        # series (valid e <= 0.03; here e ~ 5e-5, so it is also the MORE
+        # accurate configuration).  bf16 single-pass and polychromatic
+        # are extra keys.
+        'mono': jax.jit(functools.partial(wrapped, True, 'mxu2')),
+        'poly': jax.jit(functools.partial(wrapped, False, 'mxu2')),
         'fast': jax.jit(functools.partial(wrapped, True, 'mxu-fast')),
     }
     args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),

@@ -240,7 +240,8 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
         w = fn()
         modes[name] = choose_stage_mode(w, src_wave.x, src_wave.y,
                                         src_wave.z)
-        if tiled and modes[name] != ('recentred', 'mxu'):
+        if tiled and not (modes[name][0] == 'recentred' and
+                          modes[name][1].startswith('mxu')):
             # blockwise-recentred tiling: most tile pairs of a
             # short-distance stage satisfy the MXU envelopes even when
             # the global geometry does not (samples are y-sorted)
@@ -254,7 +255,7 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
             if verbose:
                 flat = [m for row in tm for m in row]
                 print(f'# stage {name}: tiled 5x10 -> '
-                      f"{sum(1 for m in flat if m == ('recentred', 'mxu'))}"
+                      f"{sum(1 for m in flat if m[1].startswith('mxu'))}"
                       f'/{len(flat)} tiles on mxu '
                       f"({sum(1 for m in flat if m[0] == 'fast')} fast)")
         elif verbose:

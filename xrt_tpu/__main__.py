@@ -78,7 +78,13 @@ def main(argv=None):
 
     for c in ('trace', 'info', 'serve', 'bob', 'codegen', 'glow'):
         s = sub.add_parser(c)
-        s.add_argument('beamline', help='beamline JSON file')
+        if c == 'serve':
+            s.add_argument('beamline', nargs='?', default=None,
+                           help='beamline JSON file (omit with --ui to '
+                                'assemble a beamline from an empty page '
+                                'in the browser)')
+        else:
+            s.add_argument('beamline', help='beamline JSON file')
         if c == 'codegen':
             s.add_argument('-o', '--out', default=None,
                            help='output script file (default: stdout); '
@@ -176,7 +182,8 @@ def main(argv=None):
         jax.distributed.initialize(**kw)
 
     from .beamline import BeamLine
-    bl = BeamLine.load_from_json(args.beamline)
+    bl = BeamLine.load_from_json(args.beamline) \
+        if args.beamline is not None else None
 
     if args.cmd == 'info':
         for name, kind, method, _ in bl.flow:
@@ -199,13 +206,18 @@ def main(argv=None):
     if args.cmd == 'serve':
         import jax
         if args.ui:
-            from .flow import record_flow
             from .webui import WebUI
-            with record_flow(bl) as flow:
-                bl.propagate_flow(jax.random.PRNGKey(0))
-            srv = WebUI(bl, flow, host=args.host, port=args.port).start()
+            if bl is None:
+                from .beamline import BeamLine
+                bl = BeamLine(name='new beamline')
+            # assembly mode (flow=None): the page can add/remove/
+            # reorder elements, pick catalog materials, save/load
+            # layouts and download the generated script, in addition to
+            # editing parameters with a live re-trace
+            srv = WebUI(bl, host=args.host, port=args.port).start()
             print(f'beamline UI on http://{srv.host}:{srv.port}/ '
-                  '(element tree + 3D view + live histogram)')
+                  '(element tree + assembly + 3D view + live '
+                  'histogram)')
         else:
             from .server import BeamLineServer
             srv = BeamLineServer(

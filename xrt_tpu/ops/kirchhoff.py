@@ -300,6 +300,11 @@ _DELTA_C3 = 0.0390625
 # accumulate='mxu*' (weight error ~ e^3; 0.1 -> <=0.1%).  Above this the
 # eager path falls back to the exact per-pair 'vpu' contraction.
 SERIES_E_MAX = 0.1
+# envelope of the TWO-term series ('mxu2': 1/A = c0(1 - e), weight error
+# ~ e^2; 0.03 -> <=0.1%, same bound as 'mxu' at its own envelope edge).
+# 'mxu2' drops the lvh^2 weight-column replicas: 56 instead of 72 MXU
+# column-passes per chunk -> ~25% faster at equal field fidelity.
+SERIES_E2_MAX = 0.03
 
 
 def recentred_series_e_max(xd, yd, zd, xs, ys, zs):
@@ -558,6 +563,9 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         pdict = {kk: pref[0, i] for i, kk in enumerate(pkeys)}
         bf16 = jnp.bfloat16
         dn = (((1,), (1,)), ((), ()))   # contract the src dimension
+        # 'mxu2': two-term 1/A series — drop the lvh^2 column replicas
+        nterms = 2 if accumulate == 'mxu2' else 3
+        ncols = 4 + 8 * nterms
 
         def rows(vs):
             return jnp.concatenate([v.reshape(1, -1) for v in vs], axis=0)
@@ -606,9 +614,12 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 w8 = [a1, a2, a1 * sx, a1 * sy, a1 * sz,
                       a2 * sx, a2 * sy, a2 * sz]
                 lv = s1['lvh']
-                lv2 = lv * lv
-                W = rows([s1['esr'], s1['esi'], s1['epr'], s1['epi']] +
-                         w8 + [lv * w for w in w8] + [lv2 * w for w in w8])
+                wcols = [s1['esr'], s1['esi'], s1['epr'], s1['epi']] + \
+                    w8 + [lv * w for w in w8]
+                if nterms == 3:
+                    lv2 = lv * lv
+                    wcols += [lv2 * w for w in w8]
+                W = rows(wcols)
                 if accumulate == 'mxu32':       # native f32 dots
                     return (U_r, U_i, W)
                 if accumulate == 'mxu-fast':    # single-pass bf16
@@ -622,7 +633,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
             def accum(acc, m):
                 accP, accQ, accPlo, accQlo = acc
-                if accumulate == 'mxu':
+                if accumulate in ('mxu', 'mxu2'):
                     Ph, Pl, Qh, Ql, Wb, Wl4 = m
                     accP = accP + mm(Ph, Wb)
                     accQ = accQ + mm(Qh, Wb)
@@ -641,8 +652,8 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 # forces megabyte VMEM copies every iteration
                 return accum(acc, stage(j))
 
-            init_acc = (jnp.zeros((dst_tile, 28), f32),
-                        jnp.zeros((dst_tile, 28), f32),
+            init_acc = (jnp.zeros((dst_tile, ncols), f32),
+                        jnp.zeros((dst_tile, ncols), f32),
                         jnp.zeros((dst_tile, 4), f32),
                         jnp.zeros((dst_tile, 4), f32))
             accPw, accQw, accPlo, accQlo = jax.lax.fori_loop(
@@ -663,13 +674,21 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             #        + (c0^2 - 2 c0^3 pdh) lvh + c0^3 lvh^2
             c0 = pdict['invR0']
             ed = c0 * pdh
-            cA = (c0 * (1.0 - ed + ed * ed))[:, None]
-            cB = (c0 * c0 * (1.0 - 2.0 * ed))[:, None]
-            cC = c0 * c0 * c0
-            accR = cA * accPw[:, 4:12] + cB * accPw[:, 12:20] + \
-                cC * accPw[:, 20:28]
-            accS = cA * accQw[:, 4:12] + cB * accQw[:, 12:20] + \
-                cC * accQw[:, 20:28]
+            if nterms == 3:
+                cA = (c0 * (1.0 - ed + ed * ed))[:, None]
+                cB = (c0 * c0 * (1.0 - 2.0 * ed))[:, None]
+                cC = c0 * c0 * c0
+                accR = cA * accPw[:, 4:12] + cB * accPw[:, 12:20] + \
+                    cC * accPw[:, 20:28]
+                accS = cA * accQw[:, 4:12] + cB * accQw[:, 12:20] + \
+                    cC * accQw[:, 20:28]
+            else:
+                # 1/A ~= c0(1 - e), e = c0 (pdh - lvh):
+                # (c0 - c0^2 pdh) + c0^2 * lvh
+                cA = (c0 * (1.0 - ed))[:, None]
+                cB = c0 * c0
+                accR = cA * accPw[:, 4:12] + cB * accPw[:, 12:20]
+                accS = cA * accQw[:, 4:12] + cB * accQw[:, 12:20]
             Dx = pdict['Cx'] + tdx + pdh * pdict['Lx']
             Dy = pdict['Cy'] + tdy + pdh * pdict['Ly']
             Dz = pdict['Cz'] + tdz + pdh * pdict['Lz']
@@ -765,6 +784,10 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         if accumulate.startswith('mxu') and not isinstance(
                 jnp.asarray(xd[0]), jax.core.Tracer):
             e_max = recentred_series_e_max(xd, yd, zd, xs, ys, zs)
+            if accumulate == 'mxu2' and e_max > SERIES_E2_MAX:
+                # two-term series out of envelope: degrade to the
+                # three-term 'mxu' (checked against its own bound below)
+                accumulate = 'mxu'
             if e_max > SERIES_E_MAX:
                 import warnings
                 warnings.warn(

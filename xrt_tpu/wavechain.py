@@ -124,7 +124,8 @@ class WaveChain:
                        np.asarray(wv.zDiffr))
                 mode = _w.choose_kirchhoff_mode(dst, prev_geom, k=kv)
                 tm = None
-                if tiled and mode != ('recentred', 'mxu'):
+                if tiled and not (mode[0] == 'recentred' and
+                                  mode[1].startswith('mxu')):
                     tm = _w.choose_tile_modes(dst, prev_geom, *tile_shape,
                                               k=kv)
                 if verbose:

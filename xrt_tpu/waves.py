@@ -1104,7 +1104,8 @@ def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
     series (e <= SERIES_E_MAX for 'mxu') and the transverse delta-series
     phase error; geometries outside both fall back to the per-pair
     double-float 'fast' phase (exact at any separation)."""
-    from .ops.kirchhoff import recentred_series_e_max, SERIES_E_MAX
+    from .ops.kirchhoff import (recentred_series_e_max, SERIES_E_MAX,
+                                SERIES_E2_MAX)
     d = np.stack([np.asarray(v, np.float64) for v in dst_xyz])
     s = np.stack([np.asarray(v, np.float64) for v in src_xyz])
     e = recentred_series_e_max((d[0],), (d[1],), (d[2],),
@@ -1128,7 +1129,12 @@ def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
         return 'fast', 'vpu'
     if e > SERIES_E_MAX:
         return 'recentred', 'vpu'
-    return 'recentred', 'mxu'
+    if e > SERIES_E2_MAX:
+        return 'recentred', 'mxu'
+    # small longitudinal extent: the two-term 1/A series is both faster
+    # (56 vs 72 MXU column-passes) and at least as accurate (~e^2 weight
+    # error <= 1e-3 at this envelope)
+    return 'recentred', 'mxu2'
 
 
 def _tile_bounds(N, ntiles):
