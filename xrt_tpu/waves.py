@@ -747,11 +747,22 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
         kl = kl + oeLocal.E * _KC_LO
         use_kernel = use_pallas if use_pallas != 'auto' \
             else jax.default_backend() == 'tpu'
+
+        def _tile_of(pm, am):
+            # dst_tile=256 is ~2% faster on v5e for the recentred MXU
+            # accumulation (PERF.md sweep) and fits scoped vmem there;
+            # the per-pair dd kernels ('fast'/'exact') and the vpu
+            # contraction exceed the 16 MB budget at 256 — keep 128
+            return 256 if (pm == 'recentred' and am.startswith('mxu')) \
+                else 128
+
         if use_kernel:
             kfn = functools.partial(kirchhoff_integral_pallas,
                                     phase_mode=phase_mode,
                                     monochromatic=monochromatic,
-                                    accumulate=accumulate)
+                                    accumulate=accumulate,
+                                    dst_tile=_tile_of(phase_mode,
+                                                      accumulate))
         elif phase_mode == 'recentred':
             kfn = functools.partial(kirchhoff_integral_recentred,
                                     monochromatic=monochromatic)
@@ -791,7 +802,8 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
                 if use_kernel:
                     return functools.partial(
                         kirchhoff_integral_pallas, phase_mode=pm,
-                        monochromatic=monochromatic, accumulate=am)
+                        monochromatic=monochromatic, accumulate=am,
+                        dst_tile=_tile_of(pm, am))
                 if pm == 'recentred':
                     return functools.partial(
                         kirchhoff_integral_recentred,

@@ -235,7 +235,10 @@ class WebUI:
         if not self.bl.flow:
             return {}
         import jax
-        return self.bl.propagate_flow(jax.random.PRNGKey(0))
+        # under jit: eager element physics would materialize complex
+        # constants host-side (unimplemented on some TPU transports)
+        return jax.jit(lambda k: self.bl.propagate_flow(k))(
+            jax.random.PRNGKey(0))
 
     # -- api ------------------------------------------------------------
     def api_elements(self):
