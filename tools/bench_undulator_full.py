@@ -37,6 +37,19 @@ def main():
     from xrt_tpu.config import select_platform
     select_platform()
     import jax
+    # each run_ray_tracing call builds a fresh jitted step (safe default
+    # for closure-driven scans), so pass 2 would RE-COMPILE (~11 s
+    # through the remote tunnel) without the persistent cache; with it
+    # the identical HLO hits the disk cache like the reference's cached
+    # OpenCL builds
+    try:
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), '.jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1)
+    except Exception:
+        pass
     from xrt_tpu.sources import Undulator
     from xrt_tpu.screens import Screen
     from xrt_tpu.plotspec import XYCPlot, XYCAxis
