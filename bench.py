@@ -244,6 +244,25 @@ def bench_kirchhoff(verbose=False):
             max(spreads.values()))
 
 
+def bench_undulator_full():
+    """The TOTAL reference speed-test-2 workload (run_ray_tracing with
+    the 256-bin XYC plot and PNG save, tools/bench_undulator_full.py) —
+    reported as an extra key; published total 20.6-25.7 s on a W9100."""
+    import os
+    import sys
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), 'tools',
+            'bench_undulator_full.py')],
+        capture_output=True, text=True, timeout=560)
+    for line in r.stdout.splitlines():
+        if line.startswith('BENCH_EXTRA'):
+            return json.loads(line[len('BENCH_EXTRA'):])
+    raise RuntimeError(f'no BENCH_EXTRA in output: {r.stdout[-400:]} '
+                       f'{r.stderr[-400:]}')
+
+
 def bench_softimax(verbose=False):
     """The full reference speed-test-3 chain (see tools/bench_softimax.py):
     returns best-of-N wall-clock of one complete source->focus propagation
@@ -295,6 +314,11 @@ def main(verbose=False):
     except Exception as e:  # the chain must never sink the whole bench
         print(f'# softimax chain failed: {e!r}')
         softimax_s, softimax_spread = None, None
+    try:
+        und_full = bench_undulator_full()
+    except Exception as e:  # extra key only — never sink the bench
+        print(f'# undulator_full failed: {e!r}')
+        und_full = {}
     und_ratio = REFERENCE_UND_SHINE_S / und_shine_s
     kir_ratio = kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S
     ratios = [und_ratio, kir_ratio]
@@ -328,6 +352,7 @@ def main(verbose=False):
         out['softimax_chain_s'] = round(softimax_s, 2)
         out['softimax_vs_A100_GPU_f64'] = round(
             REFERENCE_SOFTIMAX_S / softimax_s, 3)
+    out.update(und_full)
     print(json.dumps(out))
 
 
