@@ -240,3 +240,33 @@ def test_runner_scan_caches_compiled_step():
     assert np.allclose(np.asarray(centers), exp, atol=0.1)
     # one trace total: scan points 2 and 3 hit the compiled-step cache
     assert traces['n'] == 1
+
+
+def test_remove_with_same_class_sibling_and_axis_rewind():
+    """BeamLine.remove must (a) match elements by IDENTITY — the flax
+    dataclass __eq__ raises on jnp-array fields, so a same-class sibling
+    earlier in the category list used to crash the removal mid-way —
+    and (b) rewind the auto-placement axis when the LAST element is
+    removed, so remove + re-place-at-distance behaves as an undo."""
+    import numpy as np
+    from xrt_tpu.beamline import BeamLine
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.sources import GeometricSource
+
+    bl = BeamLine()
+    bl.add('src', GeometricSource.create(nrays=10, energies=(9000.,),
+                                         distE='lines'))
+    s1 = Screen.create(center=(0, 1000.0, 0))
+    bl.add('s1', s1)
+    bl.place('s2', Screen, distance=500.0)
+    c2 = np.asarray(bl['s2'].center, float)
+    # (a) two same-class elements in bl.screens: remove the SECOND
+    bl.remove('s2')
+    assert 's2' not in bl._elements
+    assert sum(1 for e in bl.screens if e is s1) == 1
+    assert all(nm != 's2' for nm, *_ in bl.flow)
+    # (b) axis rewound: re-placing at the same distance reproduces the
+    # original center instead of landing 500 mm further downstream
+    bl.place('s2b', Screen, distance=500.0)
+    c2b = np.asarray(bl['s2b'].center, float)
+    assert np.allclose(c2b, c2), (c2, c2b)

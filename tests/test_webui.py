@@ -177,12 +177,17 @@ def test_assemble_flagship_beamline(asmui):
     d2 = _get(base + '/api/hist?beam=det')
     assert d2['nGood'] > 100 and d2['flux'] > 0
 
-    # remove + reorder surfaces
+    # remove + re-add is an UNDO: the placement axis rewinds, so the
+    # re-added screen lands at the ORIGINAL center (a missing rewind
+    # would put it 12 m further downstream)
+    det_center = _get(base + '/api/elements')['det']['center']
     r = _post(base + '/api/remove', {'name': 'det'})
     assert r.get('ok') and 'det' not in r['elements']
     r = _post(base + '/api/add', {
         'name': 'det', 'class': 'Screen', 'distance': 12000.0})
     assert r.get('ok'), r
+    det_center2 = _get(base + '/api/elements')['det']['center']
+    assert np.allclose(det_center, det_center2), (det_center, det_center2)
     r = _post(base + '/api/reorder',
               {'order': ['src', 'dcm', 'toroid', 'det']})
     assert r.get('ok'), r

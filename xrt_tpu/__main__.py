@@ -123,6 +123,9 @@ def main(argv=None):
                                 'analog) instead of the JSON-lines TCP '
                                 'protocol')
     args = ap.parse_args(argv)
+    if getattr(args, 'cmd', None) == 'serve' and not args.ui and \
+            args.beamline is None:
+        ap.error('serve: a beamline JSON file is required without --ui')
 
     if args.cmd == 'calc':
         return _calc(args)
@@ -208,13 +211,21 @@ def main(argv=None):
         if args.ui:
             from .webui import WebUI
             if bl is None:
+                # assembly-from-scratch: an empty beamline, traced with
+                # the default flow as elements are added
                 from .beamline import BeamLine
                 bl = BeamLine(name='new beamline')
-            # assembly mode (flow=None): the page can add/remove/
-            # reorder elements, pick catalog materials, save/load
-            # layouts and download the generated script, in addition to
-            # editing parameters with a live re-trace
-            srv = WebUI(bl, host=args.host, port=args.port).start()
+                srv = WebUI(bl, host=args.host, port=args.port).start()
+            else:
+                # a loaded beamline: record its flow so parameter edits
+                # replay only the dirty part (round-3 behavior); the
+                # first structural edit (add/remove/reorder) switches
+                # the session to assembly mode automatically
+                from .flow import record_flow
+                with record_flow(bl) as flow:
+                    bl.propagate_flow(jax.random.PRNGKey(0))
+                srv = WebUI(bl, flow, host=args.host,
+                            port=args.port).start()
             print(f'beamline UI on http://{srv.host}:{srv.port}/ '
                   '(element tree + assembly + 3D view + live '
                   'histogram)')

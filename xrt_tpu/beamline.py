@@ -122,6 +122,26 @@ class BeamLine:
                 kind = 'oe'
         {'source': self.sources, 'oe': self.oes, 'slit': self.slits,
          'screen': self.screens}[kind].append(element)
+        # snapshot the placement-axis state so remove() of the last
+        # element (or an api_add rollback) can rewind it
+        if not hasattr(self, '_axis_before'):
+            self._axis_before = {}
+        self._axis_before.setdefault(
+            name, (self._axis_point.copy(), self._axis_dir.copy()))
+        # advance the placement axis along the polyline of element
+        # centers: after add (incl. load_from_json rebuilds) a
+        # place(distance=...) measures from the LAST element along the
+        # last inter-element direction — without this, loading a layout
+        # left the cursor at the origin and distance placement broke
+        c = getattr(element, 'center', None)
+        if c is not None:
+            c = np.asarray(c, float)
+            if c.shape == (3,) and np.all(np.isfinite(c)):
+                d = c - self._axis_point
+                nrm = float(np.linalg.norm(d))
+                if nrm > 1e-9:
+                    self._axis_dir = d / nrm
+                self._axis_point = c
         self._elements[name] = element
         if method is None:
             method = {'source': 'shine', 'oe': 'reflect',
@@ -139,12 +159,25 @@ class BeamLine:
     def remove(self, name: str):
         """Unregister *name* and drop its flow step (browser-assembly
         analog of deleting a tree node in the reference xrtQook,
-        qookbase.py)."""
+        qookbase.py).
+
+        If *name* was the most recently added element, the auto-placement
+        axis cursor rewinds to its pre-placement state, so remove +
+        re-add-at-distance behaves as an undo."""
+        was_last = bool(self.flow) and self.flow[-1][0] == name
         el = self._elements.pop(name)
         for lst in (self.sources, self.oes, self.slits, self.screens):
-            if el in lst:
-                lst.remove(el)
+            # identity match: list.__contains__ would fall through to the
+            # flax-dataclass __eq__, which compares jnp array fields and
+            # raises on any same-class sibling in the list
+            for i, e in enumerate(lst):
+                if e is el:
+                    del lst[i]
+                    break
         self.flow = [s for s in self.flow if s[0] != name]
+        axis = getattr(self, '_axis_before', {}).pop(name, None)
+        if was_last and axis is not None:
+            self._axis_point, self._axis_dir = axis
         return el
 
     def reorder(self, names):
@@ -435,6 +468,19 @@ class BeamLine:
     def export_to_json(self, fileName=None):
         layout = {'name': self.name, 'azimuth': self.azimuth,
                   'height': self.height, 'alignE': self.alignE,
+                  # the auto-placement axis state (deflections applied by
+                  # place() are not reconstructable from centers alone);
+                  # load_from_json restores it so distance-placement and
+                  # remove-undo keep working on a reloaded layout
+                  'axis': {
+                      'point': [float(v) for v in self._axis_point],
+                      'dir': [float(v) for v in self._axis_dir],
+                      'before': {
+                          nm: [[float(v) for v in p],
+                               [float(v) for v in d]]
+                          for nm, (p, d) in
+                          getattr(self, '_axis_before', {}).items()},
+                  },
                   'elements': []}
         for name, kind, method, kwargs in self.flow:
             el = self._elements[name]
@@ -487,6 +533,13 @@ class BeamLine:
             bl.add(entry['name'], el, kind=entry['kind'],
                    method=entry['method'],
                    **(entry.get('methodKwargs') or {}))
+        axis = layout.get('axis')
+        if axis:
+            bl._axis_point = np.asarray(axis['point'], float)
+            bl._axis_dir = np.asarray(axis['dir'], float)
+            bl._axis_before = {
+                nm: (np.asarray(p, float), np.asarray(d, float))
+                for nm, (p, d) in axis.get('before', {}).items()}
         return bl
 
 

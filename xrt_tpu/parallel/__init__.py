@@ -161,7 +161,8 @@ def kirchhoff_ring(mesh: Mesh, xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
 
 def dst_sharded_call(mesh: Mesh, fn, dst_args, src_args, ring=False,
-                     src_pad=None, axis_name=None, acc_dtype=None):
+                     src_pad=None, axis_name=None, acc_dtype=None,
+                     n_out=5):
     """Run ``fn(*dst_args, *src_args) -> tuple of per-dst accumulators``
     with the destination arrays sharded over *mesh*.
 
@@ -182,7 +183,10 @@ def dst_sharded_call(mesh: Mesh, fn, dst_args, src_args, ring=False,
 
     dst args are edge-padded to a multiple of the device count (zero
     padding would pollute per-shard recentring reference points);
-    outputs are clipped back to the true length."""
+    outputs are clipped back to the true length.  *n_out* is the number
+    of accumulators *fn* returns (ring mode needs it up front for the
+    scan carry; a mismatch raises at trace time)."""
+    from ..waves import pad1d_edge as pad_edge, pad1d_zero as pad_zero
     if axis_name is None:
         axis_name = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -190,15 +194,6 @@ def dst_sharded_call(mesh: Mesh, fn, dst_args, src_args, ring=False,
     src_args = [jnp.asarray(v) for v in src_args]
     Nd = dst_args[0].shape[0]
     npad_d = (-Nd) % ndev
-
-    def pad_edge(v, npad):
-        return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (npad,))]) \
-            if npad else v
-
-    def pad_zero(v, npad):
-        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) \
-            if npad else v
-
     dsts = [pad_edge(v, npad_d) for v in dst_args]
     nd_args = len(dsts)
 
@@ -230,13 +225,17 @@ def dst_sharded_call(mesh: Mesh, fn, dst_args, src_args, ring=False,
         def body(carry, _):
             accs, shards = carry
             out = fn(*dst_l, *shards)
+            if len(out) != n_out:
+                raise ValueError(
+                    f'ring fn returned {len(out)} accumulators, '
+                    f'expected n_out={n_out}')
             accs = tuple(a + o for a, o in zip(accs, out))
             shards = tuple(jax.lax.ppermute(s, axis_name, perm)
                            for s in shards)
             return (accs, shards), None
 
         init = tuple(pvary(jnp.zeros(dst_l[0].shape, acc_dtype),
-                           (axis_name,)) for _ in range(5))
+                           (axis_name,)) for _ in range(n_out))
         (accs, _), _ = jax.lax.scan(body, (init, tuple(src_l)), None,
                                     length=ndev)
         return accs

@@ -36,6 +36,21 @@ from .transforms import (rotate_xyz, rotate_y, rotate_z,
 SRC_CHUNK = 256   # source samples per scan step in the XLA path
 
 
+def pad1d_edge(v, npad):
+    """Pad a 1-D array by repeating its last element.  Used for POSITION
+    arrays entering recentred kernels: zero padding would drag the
+    recentring reference points (cloud means) toward the origin."""
+    return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (npad,))]) \
+        if npad else v
+
+
+def pad1d_zero(v, npad):
+    """Zero-pad a 1-D array (fields/weights: padding contributes
+    nothing to the integral)."""
+    return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) \
+        if npad else v
+
+
 @struct.dataclass
 class Wave(Beam):
     """A Beam that also carries the receiving-sample geometry and the
@@ -813,14 +828,7 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
             # edge-pad positions (zero-padding would drag the recentring
             # reference points D0/S0 toward the origin); zero-pad weights
             # and fields so padded samples contribute nothing
-            def pad_edge(v, p):
-                return jnp.concatenate(
-                    [v, jnp.broadcast_to(v[-1:], (p,))]) if p else v
-
-            def pad_zero(v, p):
-                return jnp.concatenate(
-                    [v, jnp.zeros((p,), v.dtype)]) if p else v
-
+            pad_edge, pad_zero = pad1d_edge, pad1d_zero
             n_arr = [jnp.broadcast_to(ni, oeLocal.x.shape) for ni in n]
             dstp = [(pad_edge(h, pad_d), pad_edge(l, pad_d))
                     for h, l in dst_t]

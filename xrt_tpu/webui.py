@@ -297,15 +297,21 @@ class WebUI:
                               'elemental': list_elemental(),
                               'compounds': list_compounds()}}
 
+    def _to_assembly_mode(self):
+        """Structural edits cannot be expressed as a recorded-flow
+        replay: drop to assembly mode (full re-trace of the beamline's
+        default flow) on the first add/remove/reorder."""
+        if self.flow is not None:
+            self.flow = None
+            self._repl = {}
+
     def api_add(self, req):
         """Create + register an element; with "distance" it is placed on
         the current optical axis by BeamLine.place (auto center, auto
         Bragg pitch from the material at alignE — the assembly analog of
         the reference's auto-alignment, beamline.py:368-508)."""
         with self._lock:
-            if self.flow is not None:
-                raise ValueError('assembly needs flow=None mode '
-                                 '(WebUI(bl) without a recorded flow)')
+            self._to_assembly_mode()
             name = req['name']
             if name in self.bl._elements:
                 raise ValueError(f'element {name!r} already exists')
@@ -316,6 +322,7 @@ class WebUI:
                     params[k] = tuple(v)
             if req.get('material'):
                 params['material'] = _material_from_spec(req['material'])
+            axis0 = (self.bl.axis_point, self.bl.axis_dir)
             try:
                 if req.get('distance') is not None:
                     kw = dict(params)
@@ -339,6 +346,10 @@ class WebUI:
             except Exception:
                 if name in self.bl._elements:
                     self.bl.remove(name)
+                # rewind the auto-placement axis too, or every later
+                # distance-placed element lands relative to the failed one
+                self.bl._axis_point, self.bl._axis_dir = \
+                    np.asarray(axis0[0]), np.asarray(axis0[1])
                 self.elements = dict(self.bl._elements)
                 raise
             self.elements = dict(self.bl._elements)
@@ -346,21 +357,48 @@ class WebUI:
 
     def api_remove(self, name):
         with self._lock:
-            if self.flow is not None:
-                raise ValueError('assembly needs flow=None mode')
+            self._to_assembly_mode()
+            saved = self._structural_snapshot()
             self.bl.remove(name)
             self._repl.pop(name, None)
+            try:
+                self._results = self._trace()
+            except Exception:
+                self._restore_structural(saved)
+                raise
             self.elements = dict(self.bl._elements)
-            self._results = self._trace()
             return {'ok': True, 'elements': list(self.elements)}
 
     def api_reorder(self, order):
         with self._lock:
-            if self.flow is not None:
-                raise ValueError('assembly needs flow=None mode')
+            self._to_assembly_mode()
+            saved = self._structural_snapshot()
             self.bl.reorder(list(order))
-            self._results = self._trace()
+            try:
+                self._results = self._trace()
+            except Exception:
+                self._restore_structural(saved)
+                raise
             return {'ok': True, 'order': [s[0] for s in self.bl.flow]}
+
+    def _structural_snapshot(self):
+        bl = self.bl
+        return (dict(bl._elements), list(bl.flow), list(bl.sources),
+                list(bl.oes), list(bl.slits), list(bl.screens),
+                bl.axis_point, bl.axis_dir)
+
+    def _restore_structural(self, saved):
+        """Roll back a structural edit whose re-trace failed, so stale
+        results are never served for a mutated beamline."""
+        bl = self.bl
+        (bl._elements, bl.flow, bl.sources, bl.oes, bl.slits,
+         bl.screens, ap, ad) = \
+            (dict(saved[0]), list(saved[1]), list(saved[2]),
+             list(saved[3]), list(saved[4]), list(saved[5]),
+             saved[6], saved[7])
+        bl._axis_point = np.asarray(ap)
+        bl._axis_dir = np.asarray(ad)
+        self.elements = dict(bl._elements)
 
     def api_layout(self):
         with self._lock:
