@@ -99,6 +99,41 @@ def test_set_pitch_moves_focus(ui):
                               'value': PITCH})
 
 
+def test_inspect(ui):
+    """The xrtGlow instance-inspector analog: full params, derived
+    material optics, footprint ray categories and flux transmission."""
+    base = f'http://{ui.host}:{ui.port}'
+    d = _get(base + '/api/inspect?element=mirror')
+    assert d['class'] == 'ToroidMirror'
+    assert d['params']['pitch'] == pytest.approx(PITCH)
+    assert d['params']['material'] == 'Material'     # nested struct name
+    # material card: a Rh/Si mirror reports delta/beta at alignE
+    assert d['material']['kind'] == 'mirror'
+    assert 0 < d['material']['delta'] < 1e-4
+    assert d['material']['beta'] > 0
+    # footprint on the surface + the outgoing beam + transmission
+    fp = d['footprint']
+    assert fp['nGood'] > 1000 and fp['flux'] > 0
+    assert fp['fwhm_y'] > fp['fwhm_x'] > 0   # grazing-incidence stretch
+    assert d['beamOut']['nGood'] == fp['nGood']
+    assert d['fluxIn'] >= d['beamOut']['flux'] > 0
+    assert 0 < d['transmission'] <= 1.0
+    # categories add up to the ray budget
+    n = sum(fp[k] for k in ('nGood', 'nOut', 'nOver', 'nDead'))
+    assert n == 4000
+    # the source inspects too (no upstream, no transmission key)
+    s = _get(base + '/api/inspect?element=source')
+    assert s['class'] == 'GeometricSource'
+    assert 'transmission' not in s
+    assert s['beamOut']['flux'] > 0
+    # unknown element -> a 500 with an error payload, not a crash
+    try:
+        e = _get(base + '/api/inspect?element=nope')
+    except urllib.error.HTTPError as exc:
+        e = json.loads(exc.read())
+    assert 'error' in e and 'nope' in e['error']
+
+
 @pytest.fixture(scope='module')
 def asmui():
     """An EMPTY beamline served in assembly mode (flow=None)."""
@@ -157,6 +192,15 @@ def test_assemble_flagship_beamline(asmui):
     scene = _get(base + '/api/scene')
     assert {'src', 'dcm', 'toroid', 'det'} <= {
         e['name'] for e in scene['elements']}
+
+    # inspector on the assembled DCM: auto-Bragg pitch and both crystal
+    # footprints are live
+    ins = _get(base + '/api/inspect?element=dcm')
+    assert ins['material']['braggAngle_deg'] == pytest.approx(12.69,
+                                                              abs=0.05)
+    assert ins['material']['darwinWidth_urad'] > 0
+    assert ins['footprint']['nGood'] > 0
+    assert ins['footprint2']['nGood'] > 0
 
     # probe slider (xrtGlow draggable screen): the beam focuses toward
     # q=12000 mm downstream of the toroid

@@ -31,6 +31,12 @@ Endpoints (JSON):
     GET  /api/codegen           generated runnable python script
     GET  /api/probe?beam&d      histogram on a virtual screen *d* mm
                                 downstream of the selected beam
+    GET  /api/inspect?element=N full parameter set + derived material
+                                optics (Bragg angle, Darwin width,
+                                delta/beta) + footprint ray categories,
+                                flux and per-axis centroid/FWHM + flux
+                                transmission vs the upstream element
+                                (the xrtGlow instance-inspector analog)
     POST /api/set               {"element","param","value"} -> re-trace
     POST /api/add               {"name","class","params",["material"],
                                 ["distance"|"center"],["pitch"]}
@@ -66,6 +72,98 @@ def _fwhm(x, w):
         return 0.0
     above = np.nonzero(h > h.max() / 2)[0]
     return float((above[-1] - above[0] + 1) * (edges[1] - edges[0]))
+
+
+def _full_params(el):
+    """All dataclass fields of *el*, JSON-ready: numbers and small
+    vectors as values, strings/bools verbatim, nested structs (e.g. a
+    material) and big arrays summarized by class/shape."""
+    out = {}
+    fields = getattr(type(el), '__dataclass_fields__', {})
+    for fname in fields:
+        v = getattr(el, fname)
+        if v is None:
+            continue
+        if isinstance(v, (str, bool)):
+            out[fname] = v
+        elif hasattr(type(v), '__dataclass_fields__'):
+            out[fname] = type(v).__name__
+        elif isinstance(v, tuple):
+            try:
+                out[fname] = [float(x) for x in v]
+            except (TypeError, ValueError):
+                out[fname] = [str(x) for x in v]
+        else:
+            try:
+                arr = np.asarray(v)
+            except Exception:
+                out[fname] = type(v).__name__
+                continue
+            if arr.ndim == 0 and np.issubdtype(arr.dtype, np.number):
+                out[fname] = float(arr)
+            elif arr.ndim == 1 and arr.size <= 3 and \
+                    np.issubdtype(arr.dtype, np.floating):
+                out[fname] = [float(x) for x in arr]
+            else:
+                out[fname] = f'array{tuple(arr.shape)}'
+    return out
+
+
+def _material_info(mat, E):
+    """Derived optics numbers for *mat* at energy *E* — the inspector's
+    material card (Bragg angle/Darwin width for crystals, delta/beta of
+    the refractive index for mirrors/lenses)."""
+    info = {'class': type(mat).__name__,
+            'kind': getattr(mat, 'kind', None),
+            'name': getattr(mat, 'name', None),
+            'at_E_eV': float(E)}
+    rho = getattr(mat, 'rho', None)
+    if rho is not None:
+        try:
+            info['rho_g_cm3'] = float(np.asarray(rho))
+        except Exception:
+            pass
+    if hasattr(mat, 'get_Bragg_angle'):
+        try:
+            tb = float(np.asarray(mat.get_Bragg_angle(E)))
+            info['braggAngle_deg'] = float(np.degrees(tb))
+            if hasattr(mat, 'get_Darwin_width'):
+                info['darwinWidth_urad'] = 1e6 * float(
+                    np.asarray(mat.get_Darwin_width(E)))
+            d = getattr(mat, 'd', None)
+            if d is not None:
+                info['dSpacing_A'] = float(np.asarray(d))
+        except Exception:
+            pass
+    elif hasattr(mat, 'get_refractive_index'):
+        try:
+            n = complex(np.asarray(mat.get_refractive_index(E)))
+            info['delta'] = 1.0 - n.real
+            info['beta'] = abs(n.imag)
+        except Exception:
+            pass
+    return info
+
+
+def _beam_stats(b):
+    """Ray-category counts + flux + per-axis centroid/FWHM of a beam —
+    the reference's plot readouts (nRaysGood/Out/Over/Dead, flux,
+    FWHM) computed on demand for the inspector."""
+    st = np.asarray(b.state)
+    w = np.asarray(b.Jss) + np.asarray(b.Jpp)
+    good = st == 1
+    out = {'nGood': int(good.sum()), 'nOut': int((st == 2).sum()),
+           'nOver': int((st == 3).sum()), 'nDead': int((st < 0).sum()),
+           'flux': float(np.where(good, w, 0.0).sum())}
+    if out['nGood'] > 1:
+        wg = w[good]
+        tot = wg.sum()
+        if tot > 0:
+            for ax in 'xyz':
+                v = np.asarray(getattr(b, ax))[good]
+                out[f'c{ax}'] = float((v * wg).sum() / tot)
+                out[f'fwhm_{ax}'] = _fwhm(v, wg)
+    return out
 
 
 # addable element classes for the assembly registry: (module, class)
@@ -193,6 +291,8 @@ class WebUI:
                     elif u.path == '/api/probe':
                         self._send(ui.api_probe(
                             q.get('beam'), float(q.get('d', 0.0))))
+                    elif u.path == '/api/inspect':
+                        self._send(ui.api_inspect(q.get('element')))
                     else:
                         self._send({'error': 'not found'}, code=404)
                 except Exception as e:
@@ -459,6 +559,81 @@ class WebUI:
             out['d'] = d
             return out
 
+    def _element_beams(self, name):
+        """(global_beam, [local footprints]) of *name* in the current
+        results, resolving both result-key styles: propagate_flow's
+        ``name``/``name_local``/``name_local1|2`` and flow-replay's
+        ``name.method`` tuples."""
+        glob, locs = None, []
+        for key, val in self._results.items():
+            if key.startswith('~'):
+                continue
+            base = key.split('.', 1)[0]
+            suffix = None
+            for suf in ('_local1', '_local2', '_local'):
+                if base.endswith(suf):
+                    base, suffix = base[:-len(suf)], suf
+                    break
+            if base != name:
+                continue
+            if isinstance(val, tuple):
+                bs = [v for v in val if hasattr(v, 'state')]
+                if bs:
+                    glob = bs[0]
+                    locs.extend(bs[1:])
+            elif hasattr(val, 'state'):
+                if suffix:
+                    locs.append(val)
+                else:
+                    glob = val
+        return glob, locs
+
+    def api_inspect(self, name):
+        """Deep per-element readout — the capability analog of xrtGlow's
+        instance inspector (gui/xrtGlow/widgets/inspector.py): the full
+        parameter set (incl. non-numeric fields), the material's derived
+        optics numbers at the alignment energy (Bragg angle, Darwin
+        width, d-spacing for crystals; delta/beta for mirrors/lenses),
+        the traced footprint statistics (ray categories, flux,
+        centroid/FWHM per axis), and the flux transmission vs the
+        upstream element."""
+        with self._lock:
+            if name not in self.elements:
+                raise KeyError(f'unknown element {name!r}')
+            el = self.elements[name]
+            alignE = getattr(el, 'alignE', None)
+            if alignE is None:
+                alignE = getattr(self.bl, 'alignE', None)
+            if alignE is None:
+                alignE = 9000.0
+            alignE = float(np.asarray(alignE))
+            out = {'name': name, 'class': type(el).__name__,
+                   'module': type(el).__module__,
+                   'params': _full_params(el)}
+            for fld in ('material', 'material2'):
+                mat = getattr(el, fld, None)
+                if mat is not None and \
+                        hasattr(type(mat), '__dataclass_fields__'):
+                    out[fld] = _material_info(mat, alignE)
+            glob, locs = self._element_beams(name)
+            if locs:
+                out['footprint'] = _beam_stats(locs[0])
+                if len(locs) > 1:
+                    out['footprint2'] = _beam_stats(locs[1])
+            if glob is not None:
+                out['beamOut'] = _beam_stats(glob)
+                order = [s[0] for s in self.bl.flow]
+                if name in order and order.index(name) > 0:
+                    up, _ = self._element_beams(
+                        order[order.index(name) - 1])
+                    if up is not None:
+                        fin = _beam_stats(up)['flux']
+                        out['fluxIn'] = fin
+                        if fin > 0:
+                            out['transmission'] = \
+                                out['beamOut']['flux'] / fin
+            return out
+
     def _hist_payload(self, b):
         good = np.asarray(b.state) == 1
         x = np.asarray(b.x)
@@ -496,36 +671,9 @@ class WebUI:
                 return {'error': 'no beams'}
             if beam_key is None or beam_key not in beams:
                 beam_key = list(beams)[-1]
-            b = beams[beam_key]
-            good = np.asarray(b.state) == 1
-            x = np.asarray(b.x)
-            z = np.asarray(b.z)
-            w = np.where(good, np.asarray(b.Jss) + np.asarray(b.Jpp), 0.0)
-            tot = float(w.sum())
-            if tot > 0 and good.sum() > 1:
-                xg, zg, wg = x[good], z[good], w[good]
-                cx = float((xg * wg).sum() / tot)
-                cz = float((zg * wg).sum() / tot)
-                sx = max(np.percentile(np.abs(xg - cx), 98) * 1.3, 1e-9)
-                sz = max(np.percentile(np.abs(zg - cz), 98) * 1.3, 1e-9)
-                rng = [[cx - sx, cx + sx], [cz - sz, cz + sz]]
-                h, xe, ze = np.histogram2d(xg, zg, bins=self.bins,
-                                           range=rng, weights=wg)
-                fx = _fwhm(xg, wg)
-                fz = _fwhm(zg, wg)
-            else:
-                h = np.zeros((self.bins, self.bins))
-                xe = ze = np.linspace(-1, 1, self.bins + 1)
-                cx = cz = fx = fz = 0.0
-            hmax = h.max() or 1.0
-            return {
-                'beam': beam_key,
-                'h': np.round(h.T / hmax, 4).tolist(),   # rows = z
-                'extent': [float(xe[0]), float(xe[-1]),
-                           float(ze[0]), float(ze[-1])],
-                'flux': tot, 'nGood': int(good.sum()),
-                'cx': cx, 'cz': cz, 'fwhm_x': fx, 'fwhm_z': fz,
-            }
+            out = self._hist_payload(beams[beam_key])
+            out['beam'] = beam_key
+            return out
 
     def api_scene(self):
         with self._lock:
@@ -611,7 +759,10 @@ _PAGE = """<!DOCTYPE html>
   <button id="addcancel">cancel</button>
  </div>
  <div id="els"></div>
- <div id="status"></div></div>
+ <div id="status"></div>
+ <pre id="inspect" style="color:#9cd; font:11px monospace;
+  white-space:pre-wrap; border-top:1px solid #333; margin-top:6px;
+  padding-top:4px"></pre></div>
 <div id="main">
  <div id="view3d"><canvas id="c3d"></canvas></div>
  <div id="histrow">
@@ -654,6 +805,18 @@ async function buildTree() {
       buildTree(); refresh();
     };
     s.appendChild(del);
+    const ins = document.createElement('button');
+    ins.textContent = 'ⓘ'; ins.className = 'del';
+    ins.style.color = '#8cf';
+    ins.onclick = async ev => {
+      ev.preventDefault();
+      const d = await jget('/api/inspect?element=' +
+                           encodeURIComponent(name));
+      $('inspect').textContent = d.error ? d.error :
+        JSON.stringify(d, (k, v) =>
+          typeof v === 'number' ? Number(v.toPrecision(6)) : v, 1);
+    };
+    s.appendChild(ins);
     d.appendChild(s);
     for (const [p, v] of Object.entries(params)) {
       if (Array.isArray(v)) continue;           // vectors read-only
