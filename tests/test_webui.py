@@ -150,6 +150,12 @@ def test_assemble_flagship_beamline(asmui):
     base = f'http://{asmui.host}:{asmui.port}'
     reg = _get(base + '/api/registry')
     assert 'Undulator' in reg['classes'] and 'DCM' in reg['classes']
+    # the full placeable class set is addable (sources, mirrors,
+    # gratings, crystal optics, refractive, apertures, screens)
+    assert len(reg['classes']) >= 50
+    for cls in ('BentLaue2D', 'SiemensStar', 'VLSLaminarGrating',
+                'EllipsoidCapillaryMirror', 'HemisphericScreen'):
+        assert cls in reg['classes'], cls
     assert 'Si' in reg['materials']['crystals']
     assert 'Rh' in reg['materials']['elemental']
     assert 'period' in reg['classes']['Undulator']

@@ -166,19 +166,45 @@ def _beam_stats(b):
     return out
 
 
-# addable element classes for the assembly registry: (module, class)
+# addable element classes for the assembly registry: (module, class) —
+# the full placeable set (MeshOE and SourceFromField are omitted: they
+# need an STL / B-field table payload the add-dialog cannot carry)
 _REGISTRY = (
     ('sources', 'GeometricSource'), ('sources', 'GaussianBeam'),
+    ('sources', 'LaguerreGaussianBeam'),
+    ('sources', 'HermiteGaussianBeam'),
+    ('sources', 'MeshSource'), ('sources', 'CollimatedMeshSource'),
     ('sources', 'Undulator'), ('sources', 'BendingMagnet'),
     ('sources', 'Wiggler'),
     ('oes', 'FlatMirror'), ('oes', 'BentFlatMirror'),
-    ('oes', 'ToroidMirror'), ('oes', 'EllipticalMirrorParam'),
-    ('oes', 'ParabolicalMirrorParam'), ('oes', 'ConicalMirror'),
-    ('oes.dcm', 'DCM'), ('oes', 'BlazedGrating'),
-    ('oes', 'LaminarGrating'), ('oes.gratings', 'NormalFZP'),
+    ('oes', 'SphericalMirror'), ('oes', 'CylindricalMirror'),
+    ('oes', 'ToroidMirror'), ('oes', 'DualVFM'),
+    ('oes', 'ConicalMirror'),
+    ('oes', 'EllipticalMirrorParam'), ('oes', 'ParabolicalMirrorParam'),
+    ('oes', 'HyperbolicMirrorParam'),
+    ('oes', 'EllipsoidCapillaryMirror'),
+    ('oes', 'ParaboloidCapillaryMirror'),
+    ('oes', 'HyperboloidCapillaryMirror'),
+    ('oes.dcm', 'DCM'), ('oes.dcm', 'DCMwithSagittalFocusing'),
+    ('oes', 'Grating'), ('oes', 'BlazedGrating'),
+    ('oes', 'LaminarGrating'), ('oes', 'VLSLaminarGrating'),
+    ('oes.gratings', 'NormalFZP'), ('oes.gratings', 'GeneralFZPin0YZ'),
     ('oes.refractive', 'Plate'), ('oes.refractive', 'ParaboloidFlatLens'),
-    ('oes.bragg', 'JohannCylinder'), ('oes.laue', 'BentLaueCylinder'),
+    ('oes.refractive', 'ParabolicCylinderFlatLens'),
+    ('oes.refractive', 'DoubleParaboloidLens'),
+    ('oes.refractive', 'DoubleParabolicCylinderLens'),
+    ('oes.bragg', 'JohannCylinder'), ('oes.bragg', 'JohanssonCylinder'),
+    ('oes.bragg', 'JohannToroid'), ('oes.bragg', 'JohanssonToroid'),
+    ('oes.bragg', 'GeneralBraggToroid'), ('oes.bragg', 'DicedOE'),
+    ('oes.bragg', 'DicedJohannToroid'),
+    ('oes.bragg', 'DicedJohanssonToroid'),
+    ('oes.laue', 'LauePlate'), ('oes.laue', 'BentLaueCylinder'),
+    ('oes.laue', 'GroundBentLaueCylinder'), ('oes.laue', 'BentLaue2D'),
+    ('oes.laue', 'BentLaueSphere'),
     ('apertures', 'RectangularAperture'), ('apertures', 'RoundAperture'),
+    ('apertures', 'DoubleSlit'), ('apertures', 'PolygonalAperture'),
+    ('apertures', 'GridAperture'), ('apertures', 'SiemensStar'),
+    ('apertures', 'SetOfRectangularAperturesOnZActuator'),
     ('screens', 'Screen'), ('screens', 'HemisphericScreen'),
 )
 
