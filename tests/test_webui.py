@@ -134,6 +134,28 @@ def test_inspect(ui):
     assert 'error' in e and 'nope' in e['error']
 
 
+def test_set_material_from_catalog(ui):
+    """xrtQook's material combo box: swap an existing element's material
+    over the API from the catalogs and watch the physics change."""
+    base = f'http://{ui.host}:{ui.port}'
+    f_si = _get(base + '/api/hist')['flux']
+    # Au critical angle at 9 keV (~6.9 mrad) exceeds the 4 mrad pitch,
+    # Si's (~3.5 mrad) does not: reflected flux must jump
+    r = _post(base + '/api/set', {'element': 'mirror',
+                                  'param': 'material',
+                                  'value': {'catalog': 'elemental',
+                                            'name': 'Au',
+                                            'kind': 'mirror'}})
+    assert r.get('ok'), r
+    d = _get(base + '/api/inspect?element=mirror')
+    assert d['material']['name'] == 'Au'
+    f_au = _get(base + '/api/hist')['flux']
+    assert f_au > 2 * f_si, (f_si, f_au)
+    _post(base + '/api/set', {'element': 'mirror', 'param': 'material',
+                              'value': {'catalog': 'elemental',
+                                        'name': 'Si', 'kind': 'mirror'}})
+
+
 @pytest.fixture(scope='module')
 def asmui():
     """An EMPTY beamline served in assembly mode (flow=None)."""

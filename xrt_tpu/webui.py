@@ -37,7 +37,10 @@ Endpoints (JSON):
                                 flux and per-axis centroid/FWHM + flux
                                 transmission vs the upstream element
                                 (the xrtGlow instance-inspector analog)
-    POST /api/set               {"element","param","value"} -> re-trace
+    POST /api/set               {"element","param","value"} -> re-trace;
+                                value may be a catalog material spec
+                                {"catalog","name",...} for param
+                                "material"/"material2"
     POST /api/add               {"name","class","params",["material"],
                                 ["distance"|"center"],["pitch"]}
     POST /api/remove            {"name"}
@@ -389,8 +392,15 @@ class WebUI:
     def api_set(self, name, param, value):
         with self._lock:
             el = self.elements[name]
-            cur = getattr(el, param)
-            val = jnp.asarray(value, getattr(cur, 'dtype', None))
+            if param in ('material', 'material2') and \
+                    isinstance(value, dict):
+                # swap the element's material from a catalog spec
+                # {"catalog","name",...} — closes the last scalar-only
+                # editing gap vs xrtQook's material combo box
+                val = _material_from_spec(value)
+            else:
+                cur = getattr(el, param)
+                val = jnp.asarray(value, getattr(cur, 'dtype', None))
             new = el.replace(**{param: val})
             old_repl = self._repl.get(name)
             had_repl = name in self._repl
