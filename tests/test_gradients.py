@@ -195,6 +195,124 @@ def test_grad_through_kirchhoff_wave_chain_fd():
     assert abs(float(g)) > 0
 
 
+
+
+def test_grad_figure_error_amplitude_fd():
+    """d(focal flux)/d(figure-error amplitude) through a 2-hop WAVE chain
+    (slit field -> Kirchhoff -> figure-errored mirror -> reflect ->
+    Kirchhoff -> screen) matches finite differences — the north-star
+    capability of the rebuild: pixel-flux gradients w.r.t. surface
+    figure (SURVEY.md section 7.7; reference parameter set
+    figure_error.py:199-251, which the reference cannot differentiate).
+
+    The traced amplitude moves BOTH the receiving-surface samples (via
+    waves.wave_frame_rotation retargeting) and the reflected phase/
+    normals (figure_error through reflect), and the gradient flows
+    through the Kirchhoff kernel custom VJP on the Pallas path too
+    (checked at the kernel level in test_kirchhoff_grad)."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.apertures import RectangularAperture
+    from xrt_tpu.screens import Screen
+    from xrt_tpu.sources import GaussianBeam
+    from xrt_tpu.figure_error import waviness
+    from xrt_tpu.waves import (prepare_wave_on_aperture,
+                               prepare_wave_on_oe, prepare_wave_on_screen,
+                               diffract, reflect_wave, wave_frame_rotation)
+    from xrt_tpu.oes import FlatMirror
+
+    E0 = 9000.0
+    p, q = 5000.0, 2000.0
+    pitch = 5e-3
+    mat = xm.Material.create('Rh', rho=12.41)
+    fe_unit = waviness(amplitude=1.0, period=25.0, limPhysX=(-5, 5),
+                       limPhysY=(-60, 60), gridStep=1.0)
+    mirror0 = FlatMirror.create(center=(0, p, 0), pitch=pitch,
+                                material=mat, limPhysX=(-5, 5),
+                                limPhysY=(-60, 60),
+                                figure_error=fe_unit)
+    slit = RectangularAperture.create(center=(0, 0, 0),
+                                      opening=(-0.2, 0.2, -0.2, 0.2))
+    screen = Screen.create(center=(0, p + q, 2 * pitch * q))
+    gb = GaussianBeam.create(w0=0.08, distE='lines', energies=(E0,),
+                             polarization='horizontal')
+    key = jax.random.PRNGKey(3)
+    waveSlit = prepare_wave_on_aperture(slit, gb, 300, key=key)
+    slitBeam = gb.shine(jax.random.PRNGKey(4), waveSlit, toGlobal=False)
+    wvM0 = prepare_wave_on_oe(mirror0, slit, (24, 32),
+                              key=jax.random.PRNGKey(5), shape='grid')
+    zscr = np.linspace(-0.3, 0.3, 41)
+    wvScr0 = prepare_wave_on_screen(screen, mirror0, np.asarray([0.0]),
+                                    zscr)
+    R = wave_frame_rotation(mirror0, slit)
+    z_unit = fe_unit.local_z_distorted(wvM0.x, wvM0.y)
+    wz = jnp.exp(-(jnp.asarray(zscr) / 0.1) ** 2)
+
+    def loss(amp):
+        fe = fe_unit.replace(zmap=amp * fe_unit.zmap,
+                             dzdx=amp * fe_unit.dzdx,
+                             dzdy=amp * fe_unit.dzdy)
+        m = mirror0.replace(figure_error=fe)
+        dz = (amp - 1.0) * z_unit
+        wvM = wvM0.replace(xDiffr=wvM0.xDiffr + R[0, 2] * dz,
+                           yDiffr=wvM0.yDiffr + R[1, 2] * dz,
+                           zDiffr=wvM0.zDiffr + R[2, 2] * dz,
+                           z=wvM0.z + dz)
+        b = diffract(slitBeam, wvM)
+        _, loc = reflect_wave(m, b)
+        out = diffract(loc, wvScr0)
+        I = out.Jss + out.Jpp
+        return jnp.sum(I * wz) * 1e-10
+
+    a0 = jnp.asarray(1.0)
+    g = float(jax.grad(loss)(a0))
+    h = 0.02   # nm
+    fd = (float(loss(a0 + h)) - float(loss(a0 - h))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0
+    np.testing.assert_allclose(g, fd, rtol=2e-3)
+
+
+def test_grad_ellipse_semiaxis_through_parametric_intersection_fd():
+    """d(focal sharpness)/d(ellipseB) through the RAY path's parametric
+    intersection solver (Illinois + Newton polish, oes/base.py): the
+    implicit-function differentiability claim exercised where it can
+    break — the surface shape parameter itself."""
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.oes.parametric import EllipticalMirrorParam
+    from xrt_tpu.screens import Screen
+
+    E0 = 9000.0
+    p, q = 10000.0, 2000.0
+    pitch = 4e-3
+    mat = xm.Material.create('Rh', rho=12.41)
+    m0 = EllipticalMirrorParam.create(p=p, q=q, pitch=pitch,
+                                      center=(0, p, 0), material=mat,
+                                      limPhysX=(-20, 20),
+                                      limPhysY=(-300, 300))
+    screen = Screen.create(center=(0, p + q, 2 * pitch * q))
+    src = GeometricSource.create(nrays=2000, dx=0.05, dz=0.05,
+                                 dxprime=3e-5, dzprime=3e-5,
+                                 energies=(E0,), distE='lines')
+    beam = src.shine(jax.random.PRNGKey(11))
+
+    def sharp(bscale):
+        m = m0.replace(ellipseB=m0.ellipseB * bscale)
+        glo, _ = m.reflect(beam)
+        img = screen.expose(glo)
+        w = jnp.where(img.state == 1, img.Jss + img.Jpp, 0.0)
+        # soft focal sharpness: Gaussian-weighted central flux
+        return jnp.sum(w * jnp.exp(-(img.z / 0.02) ** 2)) / jnp.sum(w)
+
+    s0 = jnp.asarray(1.0)
+    g = float(jax.grad(sharp)(s0))
+    h = 1e-4
+    fd = (float(sharp(s0 + h)) - float(sharp(s0 - h))) / (2 * h)
+    assert np.isfinite(g) and abs(fd) > 0
+    np.testing.assert_allclose(g, fd, rtol=5e-3)
+
+
+
 import pytest as _pytest  # noqa: E402
 # full-physics / subprocess module: excluded from the fast gate
 # (`pytest -m "not slow"`); see pyproject [tool.pytest.ini_options]

@@ -251,7 +251,12 @@ class BeamLine:
             kwargs.setdefault('extraPitch', ep)
             kwargs.setdefault('extraRoll', er)
             kwargs.setdefault('extraYaw', ey)
-        element = element_cls.create(center=tuple(center), **kwargs)
+        if hasattr(element_cls, 'create'):
+            element = element_cls.create(center=tuple(center), **kwargs)
+        else:
+            # factory functions (LaguerreGaussianBeam, ...) have no
+            # create() classmethod — call them directly
+            element = element_cls(center=tuple(center), **kwargs)
         name_ = name
         self.add(name_, element)
         # update the axis

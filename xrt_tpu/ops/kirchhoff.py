@@ -56,12 +56,14 @@ def _phase_dd(xd, yd, zd, xs, ys, zs, k):
 
 
 def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                          weights):
+                          weights, remat=False):
     """Five Kirchhoff accumulators with double-float phases.
 
     All positional args xd..zs and k are (hi, lo) tuples of f32 arrays;
     Es/Ep complex64; n a 3-list of f32 arrays over src; nl, weights f32 over
-    src.  Returns complex64 (Es, Ep, aE, bE, cE) over dst."""
+    src.  Returns complex64 (Es, Ep, aE, bE, cE) over dst.
+    *remat=True*: checkpoint the chunk body for memory-bounded
+    reverse-mode differentiation (see kirchhoff_integral_recentred)."""
     f32 = xd[0].dtype
     cdt = jnp.complex64 if f32 == jnp.float32 else jnp.complex128
     Ns = xs[0].shape[0]
@@ -132,7 +134,9 @@ def kirchhoff_integral_dd(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
     Nd = xd[0].shape[0]
     init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
-    if jax.default_backend() == 'cpu':
+    if remat:
+        out, _ = jax.lax.scan(jax.checkpoint(body), init, inputs)
+    elif jax.default_backend() == 'cpu':
         # XLA:CPU's while-loop emitter miscompiles the exact
         # two_sum/two_prod error extraction inside the loop body (verified
         # empirically: phases come out as if the lo parts were dropped, and
@@ -414,9 +418,15 @@ def _accumulate(acc, U_r, U_i, g_r, g_i, ax, ay, az, s, axis):
 
 def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                                  weights, monochromatic=False,
-                                 src_chunk=None):
+                                 src_chunk=None, remat=False):
     """XLA (non-Pallas) evaluation of the recentred scheme — compiles on
-    any backend; used for validation and as the CPU f32 fast path."""
+    any backend; used for validation and as the CPU f32 fast path.
+
+    *remat=True* wraps the source-chunk body in :func:`jax.checkpoint`
+    and always uses the scan branch, so reverse-mode differentiation
+    stores only O(Nd) per chunk (the carry) instead of the O(Nd x chunk)
+    pair intermediates — the memory form used by the custom-VJP backward
+    of the Pallas kernel (:func:`_kirchhoff_bwd`)."""
     dst, src, params = recentre_kirchhoff_inputs(
         xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
     f32 = xd[0].dtype
@@ -440,7 +450,9 @@ def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         return _accumulate(carry, *vals, srow, 1), None
 
     init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
-    if jax.default_backend() == 'cpu':
+    if remat:
+        out, _ = jax.lax.scan(jax.checkpoint(body), init, src_steps)
+    elif jax.default_backend() == 'cpu':
         # XLA:CPU's while-loop emitter breaks the exact two-prod error
         # extraction inside scan bodies (see kirchhoff_integral_dd);
         # unroll at trace time so each chunk is a plain fused kernel
@@ -781,8 +793,9 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     k = astuple(k)
     f32 = xd[0].dtype
     if phase_mode == 'recentred':
-        if accumulate.startswith('mxu') and not isinstance(
-                jnp.asarray(xd[0]), jax.core.Tracer):
+        traced = any(isinstance(jnp.asarray(v[0]), jax.core.Tracer)
+                     for v in (xd, yd, zd, xs, ys, zs))
+        if accumulate.startswith('mxu') and not traced:
             e_max = recentred_series_e_max(xd, yd, zd, xs, ys, zs)
             if accumulate == 'mxu2' and e_max > SERIES_E2_MAX:
                 # two-term series out of envelope: degrade to the
@@ -797,11 +810,25 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                     f"contraction for the direction integrals.",
                     stacklevel=2)
                 accumulate = 'vpu'
-        return _kirchhoff_pallas_recentred(
-            xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights,
-            dst_tile, src_chunk, sublanes, monochromatic, accumulate,
-            interpret=interpret)
+    Ns = xs[0].shape[0]
+    n3 = tuple(jnp.broadcast_to(jnp.asarray(ni), (Ns,)).astype(f32)
+               for ni in n)
+    static = (dst_tile, src_chunk, sublanes, phase_mode,
+              bool(monochromatic), accumulate, bool(interpret))
+    return _kirchhoff_pallas_diff(static, xd, yd, zd, xs, ys, zs, Es, Ep,
+                                  k, n3, nl, weights)
 
+
+def _kirchhoff_pallas_ddphase(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
+                              weights, dst_tile, src_chunk, sublanes,
+                              phase_mode, interpret=False):
+    """The per-pair double-float-phase Pallas kernel ('fast'/'exact' phase
+    modes) — the pre-recentring scheme, kept for arbitrary/contact
+    geometries (see kirchhoff_integral_pallas)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    f32 = xd[0].dtype
     Nd = xd[0].shape[0]
     Ns = xs[0].shape[0]
     block_d = dst_tile * sublanes
@@ -923,6 +950,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         out_specs=tuple([dst_spec] * 10),
         out_shape=tuple(jax.ShapeDtypeStruct((nrows, dst_tile), f32)
                         for _ in range(10)),
+        interpret=interpret,
     )(*dsts, *srcs)
     sl = slice(0, Nd)
 
@@ -933,3 +961,125 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     return (cx(fl(EsA_r), fl(EsA_i)), cx(fl(EpA_r), fl(EpA_i)),
             cx(fl(aA_r), fl(aA_i)), cx(fl(bA_r), fl(bA_i)),
             cx(fl(cA_r), fl(cA_i)))
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: custom VJP for the Pallas kernels
+# ---------------------------------------------------------------------------
+#
+# The Pallas kernels are forward-only (jax.grad cannot traverse a
+# pallas_call), but the Kirchhoff integral's adjoint is itself a
+# Kirchhoff-type contraction: every output is a sum over source samples
+# of per-pair factors, so the cotangent of each input is the SAME double
+# sum re-reduced over the other index with differentiated per-pair
+# factors.  Rather than hand-deriving the ~30 adjoint accumulators (and
+# their chain rules through the recentred dd phase), the backward pass
+# re-evaluates the mathematically identical XLA formulation
+# (kirchhoff_integral_recentred / _dd with checkpointed chunk bodies)
+# under jax.vjp, BLOCKED over destination samples so peak memory stays
+# O(dst_block x src_chunk) — the flash-attention-style recompute scheme.
+# Forward stays at full kernel speed; backward runs at XLA fused-VPU
+# speed (benched as kirchhoff_grad_pairs_per_s in bench.py).
+#
+# This is the capability the reference does not have at all: the
+# reference's OpenCL integrate_kirchhoff (diffract.cl:80-152) is not
+# differentiable in any mode.
+
+GRAD_DST_BLOCK = 2048
+GRAD_SRC_CHUNK = 2048
+
+
+def _kirchhoff_bwd_blocked(phase_mode, monochromatic, args, cts):
+    """Cotangents of all 12 differentiable Kirchhoff inputs, computed as
+    a scan over destination blocks; each block runs jax.vjp of the
+    checkpointed XLA formulation (recompute-in-backward)."""
+    (xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights) = args
+    Nd = xd[0].shape[0]
+    B = min(GRAD_DST_BLOCK, Nd)
+    npad = (-Nd) % B
+    nblk = (Nd + npad) // B
+
+    def pad_edge(v):
+        if not npad:
+            return v
+        return jnp.concatenate([v, jnp.broadcast_to(v[-1:], (npad,))])
+
+    def pad_zero(v):
+        if not npad:
+            return v
+        return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)])
+
+    # edge-pad positions (a zero-padded point could coincide with a
+    # source sample -> r=0 -> NaN poisoning the whole cotangent);
+    # zero-pad the output cotangents so padded rows contribute nothing
+    dst_blocks = tuple((pad_edge(h).reshape(nblk, B),
+                        pad_edge(l).reshape(nblk, B))
+                       for h, l in (xd, yd, zd))
+    ct_blocks = tuple(pad_zero(c).reshape(nblk, B) for c in cts)
+    src_args = (xs, ys, zs, Es, Ep, k, n, nl, weights)
+
+    if phase_mode == 'recentred':
+        def f(d, s):
+            (xs_, ys_, zs_, Es_, Ep_, k_, n_, nl_, w_) = s
+            return kirchhoff_integral_recentred(
+                d[0], d[1], d[2], xs_, ys_, zs_, Es_, Ep_, k_, list(n_),
+                nl_, w_, monochromatic=monochromatic,
+                src_chunk=GRAD_SRC_CHUNK, remat=True)
+    else:
+        def f(d, s):
+            (xs_, ys_, zs_, Es_, Ep_, k_, n_, nl_, w_) = s
+            return kirchhoff_integral_dd(
+                d[0], d[1], d[2], xs_, ys_, zs_, Es_, Ep_, k_, list(n_),
+                nl_, w_, remat=True)
+
+    def body(src_acc, inp):
+        d, ct = inp
+        _, vjp = jax.vjp(f, d, src_args)
+        dbar, sbar = vjp(ct)
+        sbar = (sbar[0], sbar[1], sbar[2], sbar[3], sbar[4], sbar[5],
+                tuple(sbar[6]), sbar[7], sbar[8])
+        return jax.tree_util.tree_map(jnp.add, src_acc, sbar), dbar
+
+    src_zero = jax.tree_util.tree_map(
+        jnp.zeros_like, (xs, ys, zs, Es, Ep, k, tuple(n), nl, weights))
+    src_bar, dst_bars = jax.lax.scan(body, src_zero,
+                                     (dst_blocks, ct_blocks))
+
+    def unblk(v):
+        return v.reshape(-1)[:Nd]
+    xd_b, yd_b, zd_b = (jax.tree_util.tree_map(unblk, t)
+                        for t in dst_bars)
+    (xs_b, ys_b, zs_b, Es_b, Ep_b, k_b, n_b, nl_b, w_b) = src_bar
+    return (xd_b, yd_b, zd_b, xs_b, ys_b, zs_b, Es_b, Ep_b, k_b,
+            n_b, nl_b, w_b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _kirchhoff_pallas_diff(static, xd, yd, zd, xs, ys, zs, Es, Ep, k, n,
+                           nl, weights):
+    (dst_tile, src_chunk, sublanes, phase_mode, monochromatic,
+     accumulate, interpret) = static
+    if phase_mode == 'recentred':
+        return _kirchhoff_pallas_recentred(
+            xd, yd, zd, xs, ys, zs, Es, Ep, k, list(n), nl, weights,
+            dst_tile, src_chunk, sublanes, monochromatic, accumulate,
+            interpret=interpret)
+    return _kirchhoff_pallas_ddphase(
+        xd, yd, zd, xs, ys, zs, Es, Ep, k, list(n), nl, weights,
+        dst_tile, src_chunk, sublanes, phase_mode, interpret=interpret)
+
+
+def _kirchhoff_pallas_diff_fwd(static, xd, yd, zd, xs, ys, zs, Es, Ep, k,
+                               n, nl, weights):
+    out = _kirchhoff_pallas_diff(static, xd, yd, zd, xs, ys, zs, Es, Ep,
+                                 k, n, nl, weights)
+    return out, (xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights)
+
+
+def _kirchhoff_pallas_diff_bwd(static, res, cts):
+    phase_mode, monochromatic = static[3], static[4]
+    return _kirchhoff_bwd_blocked(phase_mode, monochromatic, res, cts)
+
+
+_kirchhoff_pallas_diff.defvjp(_kirchhoff_pallas_diff_fwd,
+                              _kirchhoff_pallas_diff_bwd)

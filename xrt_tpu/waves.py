@@ -234,6 +234,28 @@ def _np_local_to_global64(oe, x64, y64, z64):
     return x64 + c[0], y64 + c[1], z64 + c[2]
 
 
+def wave_frame_rotation(oe, fromOE) -> np.ndarray:
+    """(3, 3) float64 rotation mapping a *displacement* of a receiving
+    sample expressed in *oe*'s local frame into the *fromOE*-local frame
+    that :func:`prepare_wave` stores the receiving coordinates in — the
+    differential of the receiving-geometry transform.
+
+    Use it to retarget a prepared wave differentiably when oe's surface
+    moves under a traced parameter (a figure-error amplitude, a pitch
+    offset): the receiving coordinates shift by ``R @ (dx, dy, dz)`` (a
+    small f32 delta added to the f64-derived base), so the double-float
+    residuals of the base geometry stay valid and jax.grad flows through
+    the Kirchhoff kernel's custom VJP.  See
+    tests/test_gradients.py::test_grad_figure_error_amplitude_fd and
+    examples/16_parametric_optimization.py."""
+    pts = np.concatenate([np.zeros((1, 3)), np.eye(3)], axis=0)
+    gx, gy, gz = _np_local_to_global64(oe, pts[:, 0], pts[:, 1],
+                                       pts[:, 2])
+    lx, ly, lz = _to_fromOE_local64(fromOE, gx, gy, gz)
+    P = np.stack([lx, ly, lz])          # (3, 4): images of 0, ex, ey, ez
+    return P[:, 1:] - P[:, :1]
+
+
 def prepare_wave(fromOE, wave: Wave, xglo, yglo, zglo) -> Wave:
     """Attach the receiving geometry to *wave* (cf. waves.py:505-584).
 
@@ -771,13 +793,18 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
             return 256 if (pm == 'recentred' and am.startswith('mxu')) \
                 else 128
 
+        # off-TPU, an explicit use_pallas=True runs the kernel in Pallas
+        # interpret mode (CPU validation of the TPU code path, incl. its
+        # custom VJP)
+        interp = jax.default_backend() != 'tpu'
         if use_kernel:
             kfn = functools.partial(kirchhoff_integral_pallas,
                                     phase_mode=phase_mode,
                                     monochromatic=monochromatic,
                                     accumulate=accumulate,
                                     dst_tile=_tile_of(phase_mode,
-                                                      accumulate))
+                                                      accumulate),
+                                    interpret=interp)
         elif phase_mode == 'recentred':
             kfn = functools.partial(kirchhoff_integral_recentred,
                                     monochromatic=monochromatic)
@@ -818,7 +845,7 @@ def diffract(oeLocal: Beam, wave: Wave, use_pallas='auto',
                     return functools.partial(
                         kirchhoff_integral_pallas, phase_mode=pm,
                         monochromatic=monochromatic, accumulate=am,
-                        dst_tile=_tile_of(pm, am))
+                        dst_tile=_tile_of(pm, am), interpret=interp)
                 if pm == 'recentred':
                     return functools.partial(
                         kirchhoff_integral_recentred,

@@ -99,16 +99,20 @@ def _full_params(el):
         else:
             try:
                 arr = np.asarray(v)
+                if arr.ndim == 0 and np.issubdtype(arr.dtype, np.number):
+                    # 0-d complex (or other non-float-convertible
+                    # numerics) fall through to the summary form below
+                    out[fname] = float(arr)
+                elif arr.ndim == 1 and arr.size <= 3 and \
+                        np.issubdtype(arr.dtype, np.floating):
+                    out[fname] = [float(x) for x in arr]
+                else:
+                    out[fname] = f'array{tuple(arr.shape)}'
             except Exception:
-                out[fname] = type(v).__name__
-                continue
-            if arr.ndim == 0 and np.issubdtype(arr.dtype, np.number):
-                out[fname] = float(arr)
-            elif arr.ndim == 1 and arr.size <= 3 and \
-                    np.issubdtype(arr.dtype, np.floating):
-                out[fname] = [float(x) for x in arr]
-            else:
-                out[fname] = f'array{tuple(arr.shape)}'
+                try:
+                    out[fname] = f'array{tuple(arr.shape)}'
+                except Exception:
+                    out[fname] = type(v).__name__
     return out
 
 
@@ -207,7 +211,9 @@ _REGISTRY = (
     ('apertures', 'RectangularAperture'), ('apertures', 'RoundAperture'),
     ('apertures', 'DoubleSlit'), ('apertures', 'PolygonalAperture'),
     ('apertures', 'GridAperture'), ('apertures', 'SiemensStar'),
-    ('apertures', 'SetOfRectangularAperturesOnZActuator'),
+    # (SetOfRectangularAperturesOnZActuator is omitted like MeshOE /
+    # SourceFromField: it is a host-side aperture *selector*, not a
+    # traceable element — use select_aperture() and add the result)
     ('screens', 'Screen'), ('screens', 'HemisphericScreen'),
 )
 
@@ -223,9 +229,28 @@ def _registry_class(clsName):
 
 
 def _create_defaults(cls):
-    """JSON-serializable create() parameter defaults across the MRO."""
+    """JSON-serializable create() parameter defaults across the MRO.
+
+    Factory *functions* (LaguerreGaussianBeam / HermiteGaussianBeam wrap
+    GaussianBeam) expose their own signature merged over
+    GaussianBeam.create's defaults."""
     import inspect
     out = {}
+    if not isinstance(cls, type):            # a factory function
+        from .sources import GaussianBeam
+        out = _create_defaults(GaussianBeam)
+        for p in inspect.signature(cls).parameters.values():
+            if p.name == 'kwargs' or p.kind not in (
+                    p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY):
+                continue
+            d = p.default
+            if d is inspect.Parameter.empty:
+                out.setdefault(p.name, None)
+            elif isinstance(d, (int, float, str, bool, type(None))):
+                out[p.name] = d
+            elif isinstance(d, (tuple, list)):
+                out[p.name] = list(d)
+        return out
     for c in reversed(getattr(cls, '__mro__', (cls,))):
         fn = c.__dict__.get('create')
         if fn is None:
@@ -606,10 +631,14 @@ class WebUI:
                 continue
             base = key.split('.', 1)[0]
             suffix = None
-            for suf in ('_local1', '_local2', '_local'):
-                if base.endswith(suf):
-                    base, suffix = base[:-len(suf)], suf
-                    break
+            if base != name:
+                # strip a _local* suffix only when the full key is NOT
+                # itself a registered element (an element literally
+                # named 'm1_local' keeps its own beams)
+                for suf in ('_local1', '_local2', '_local'):
+                    if base.endswith(suf) and base not in self.elements:
+                        base, suffix = base[:-len(suf)], suf
+                        break
             if base != name:
                 continue
             if isinstance(val, tuple):
@@ -660,8 +689,20 @@ class WebUI:
                 out['beamOut'] = _beam_stats(glob)
                 order = [s[0] for s in self.bl.flow]
                 if name in order and order.index(name) > 0:
-                    up, _ = self._element_beams(
-                        order[order.index(name) - 1])
+                    # the actual feeding element: the step's recorded
+                    # '_input' kwarg when the flow is branched (DAG),
+                    # else the positional predecessor
+                    step = self.bl.flow[order.index(name)]
+                    upname = None
+                    kw = step[3] if len(step) > 3 else None
+                    if isinstance(kw, dict) and kw.get('_input') \
+                            is not None:
+                        inp = kw['_input']
+                        upname = inp if isinstance(inp, str) else \
+                            getattr(inp, 'name', None)
+                    if upname is None or upname not in self.elements:
+                        upname = order[order.index(name) - 1]
+                    up, _ = self._element_beams(upname)
                     if up is not None:
                         fin = _beam_stats(up)['flux']
                         out['fluxIn'] = fin
