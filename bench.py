@@ -188,7 +188,8 @@ def bench_kirchhoff(verbose=False):
     # one k for all samples), so the kernel's monochromatic mode is the
     # same-workload configuration; the polychromatic rate is reported as
     # an extra key
-    def wrapped(mono, acc, xd, yd, zd, xs, ys, zs, esr, esi, k, n1, nl, w):
+    def wrapped(mono, acc, nb, xd, yd, zd, xs, ys, zs, esr, esi, k, n1,
+                nl, w):
         zero = jnp.zeros_like(esr)
         # dst_tile=256: +2% over the 128 default on v5e for the 'mxu*'
         # accumulation (hardware sweep in PERF.md; 256 x 4096 exceeds
@@ -196,7 +197,7 @@ def bench_kirchhoff(verbose=False):
         out = kirchhoff_integral_pallas(
             xd, yd, zd, xs, ys, zs, esr + 1j * esi, zero + 0j, k,
             [zero, n1, zero], nl, w, monochromatic=mono, accumulate=acc,
-            dst_tile=256)
+            dst_tile=256, narrowband=nb)
         # scalar digest of all five accumulators
         return sum(jnp.sum(o.real) + jnp.sum(o.imag) for o in out)
 
@@ -206,32 +207,47 @@ def bench_kirchhoff(verbose=False):
         # 'mxu2' — two-pass bf16 fields with the two-term 1/A direction
         # series (valid e <= 0.03; here e ~ 5e-5, so it is also the MORE
         # accurate configuration).  bf16 single-pass and polychromatic
-        # are extra keys.
-        'mono': jax.jit(functools.partial(wrapped, True, 'mxu2')),
-        'poly': jax.jit(functools.partial(wrapped, False, 'mxu2')),
-        'fast': jax.jit(functools.partial(wrapped, True, 'mxu-fast')),
+        # are extra keys.  'poly' = per-sample k at 1% bandwidth via the
+        # narrowband factorization (valid here: flat receiver — the
+        # mode real per-sample-E workloads run); 'polyx' = the exact
+        # pre-split cross-product path (deep receivers / broadband).
+        'mono': jax.jit(functools.partial(wrapped, True, 'mxu2', False)),
+        'poly': jax.jit(functools.partial(wrapped, False, 'mxu2', True)),
+        'polyx': jax.jit(functools.partial(wrapped, False, 'mxu2',
+                                           False)),
+        'fast': jax.jit(functools.partial(wrapped, True, 'mxu-fast',
+                                          False)),
     }
+    kmono = t(np.full(Ns, 4.56e7))
+    kpoly = t(4.56e7 * (1 + 0.01 * rng.uniform(-1, 1, Ns)))
     args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),
             t(rng.uniform(-1, 1, Nd)),
             t(rng.uniform(-50, 50, Ns)), t(rng.uniform(-1, 1, Ns)),
             t(rng.uniform(-.5, .5, Ns)),
             jnp.ones(Ns, jnp.float32), jnp.zeros(Ns, jnp.float32),
-            t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
+            None, jnp.ones(Ns, jnp.float32),
             jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
-    for f in fns.values():           # compile everything up front, once
-        float(np.asarray(f(*args)))
+
+    def args_for(name):
+        k = kmono if name in ('mono', 'fast') else kpoly
+        return args[:8] + (k,) + args[9:]
+
+    for name, f in fns.items():     # compile everything up front, once
+        float(np.asarray(f(*args_for(name))))
     nrep = 2
     counters = {k: [0] for k in fns}
 
     def make_window(name, f):
+        base = args_for(name)
+
         def window():
             t0 = time.time()
             s = 0.0
             for _ in range(nrep):
                 counters[name][0] += 1
                 # nudge an input so no layer can reuse a previous result
-                argsi = ((args[0][0] + np.float32(
-                    counters[name][0] * 1e-6), args[0][1]),) + args[1:]
+                argsi = ((base[0][0] + np.float32(
+                    counters[name][0] * 1e-6), base[0][1]),) + base[1:]
                 s = s + f(*argsi)
             float(np.asarray(s))
             return time.time() - t0
@@ -240,8 +256,117 @@ def bench_kirchhoff(verbose=False):
     windows = {k: make_window(k, f) for k, f in fns.items()}
     best, spreads = robust_best(windows, verbose=verbose)
     rate = {k: Ns * Nd * nrep / v for k, v in best.items()}
-    return (rate['mono'], rate['poly'], rate['fast'],
+    return (rate['mono'], rate['poly'], rate['polyx'], rate['fast'],
             max(spreads.values()))
+
+
+def bench_vpu_peak():
+    """Empirical f32 VPU peak via a dependent FMA chain on a VREG-shaped
+    block — the roofline ceiling for the (VPU-bound) Kirchhoff kernel.
+    Returns achieved FLOP/s (2 flops per FMA)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    shape = (1024, 512)
+    UNROLL = 256      # FMAs fused per HBM round-trip: 64 flops/byte,
+    OUTER = 32        # far above the ~4 flops/byte v5e balance point
+
+    NCHAIN = 32       # independent accumulator chains hide FMA latency
+    # (sweep on v5e: 4->0.96, 8->1.98, 16->2.90, 32->3.37 TFLOP/s)
+
+    @jax.jit
+    def fma_loop(ys, a, b):
+        def body(i, ys):
+            for _ in range(UNROLL):     # trace-time unroll -> one fusion
+                ys = tuple(a * y + b for y in ys)
+            return ys
+        out = jax.lax.fori_loop(0, OUTER, body, ys)
+        return sum(jnp.sum(y) for y in out)
+
+    a = jnp.full(shape, 0.99999, jnp.float32)
+    b = jnp.full(shape, 1e-7, jnp.float32)
+    ys0 = tuple(jnp.full(shape, 1.0 + 0.01 * i, jnp.float32)
+                for i in range(NCHAIN))
+    float(np.asarray(fma_loop(ys0, a, b)))
+    best = float('inf')
+    for _ in range(4):
+        t0 = time.time()
+        float(np.asarray(fma_loop(ys0, a, b)))
+        best = min(best, time.time() - t0)
+    return 2.0 * shape[0] * shape[1] * UNROLL * OUTER * NCHAIN / best
+
+
+def bench_kirchhoff_grad(verbose=False):
+    """Forward + backward (jax.value_and_grad) through the Pallas
+    Kirchhoff kernel's custom VJP — the differentiability capability the
+    reference does not have at any speed.  Rate is pair-interactions per
+    second of one full gradient step (the pair count entered once,
+    although the step evaluates forward + adjoint)."""
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from xrt_tpu.ops import dd
+    from xrt_tpu.ops.kirchhoff import kirchhoff_integral_pallas
+
+    Ns = Nd = 65536
+    rng = np.random.RandomState(0)
+    t = lambda a: tuple(map(jnp.asarray, dd.from_f64(a)))
+    args = (t(rng.uniform(-1, 1, Nd)), t(np.full(Nd, 20000.)),
+            t(rng.uniform(-1, 1, Nd)),
+            t(rng.uniform(-50, 50, Ns)), t(rng.uniform(-1, 1, Ns)),
+            t(rng.uniform(-.5, .5, Ns)),
+            jnp.ones(Ns, jnp.float32), jnp.zeros(Ns, jnp.float32),
+            t(np.full(Ns, 4.56e7)), jnp.ones(Ns, jnp.float32),
+            jnp.ones(Ns, jnp.float32), jnp.ones(Ns, jnp.float32))
+
+    def loss(zs_hi, xd, yd, zd, xs, ys, zs_lo, esr, esi, k, n1, nl, w):
+        zero = jnp.zeros_like(esr)
+        out = kirchhoff_integral_pallas(
+            xd, yd, zd, xs, ys, (zs_hi, zs_lo), esr + 1j * esi,
+            zero + 0j, k, [zero, n1, zero], nl, w,
+            monochromatic=True, accumulate='mxu2', dst_tile=256)
+        return sum(jnp.sum(o.real ** 2 + o.imag ** 2) for o in out[:2])
+
+    gfn = jax.jit(jax.value_and_grad(loss))
+    flat = (args[5][0], args[0], args[1], args[2], args[3], args[4],
+            args[5][1]) + args[6:]
+    v, g = gfn(*flat)
+    float(np.asarray(v))
+    float(np.asarray(jnp.sum(g)))
+    state = [0]
+
+    def window():
+        t0 = time.time()
+        state[0] += 1
+        zh = flat[0] + np.float32(state[0] * 1e-6)
+        v, g = gfn(zh, *flat[1:])
+        float(np.asarray(v + jnp.sum(g)))
+        return time.time() - t0
+
+    best, spreads = robust_best({'grad': window}, min_rounds=3,
+                                max_rounds=8, budget_s=240.0,
+                                verbose=verbose)
+    return Ns * Nd / best['grad'], spreads['grad']
+
+
+def bench_analyzer():
+    """Speed test 1 (diced Johansson analyzer, 3 sources x 96 x 1e5 rays,
+    tools/bench_analyzer.py) as driver-visible extra keys; reference
+    436.1 s (1 thread) / 157.1 s (4 processes) on an i7-7700K."""
+    import os
+    import sys
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), 'tools', 'bench_analyzer.py')],
+        capture_output=True, text=True, timeout=560)
+    for line in r.stdout.splitlines():
+        if line.startswith('BENCH_EXTRA'):
+            return json.loads(line[len('BENCH_EXTRA'):])
+    raise RuntimeError(f'no BENCH_EXTRA in output: {r.stdout[-400:]} '
+                       f'{r.stderr[-400:]}')
 
 
 def bench_undulator_full():
@@ -307,8 +432,18 @@ def main(verbose=False):
         pass   # older jax without the cache config — cold compiles only
     rays_per_s, trace_spread = bench_trace(verbose)
     und_shine_s, und_spread = bench_undulator(verbose)
-    (kirchhoff_pairs_s, kirchhoff_poly_pairs_s,
+    (kirchhoff_pairs_s, kirchhoff_poly_pairs_s, kirchhoff_polyx_pairs_s,
      kirchhoff_fast_pairs_s, kir_spread) = bench_kirchhoff(verbose)
+    try:
+        grad_pairs_s, grad_spread = bench_kirchhoff_grad(verbose)
+    except Exception as e:  # extra key only — never sink the bench
+        print(f'# kirchhoff_grad failed: {e!r}')
+        grad_pairs_s, grad_spread = None, None
+    try:
+        vpu_peak = bench_vpu_peak()
+    except Exception as e:
+        print(f'# vpu_peak failed: {e!r}')
+        vpu_peak = None
     try:
         softimax_s, softimax_spread = bench_softimax(verbose)
     except Exception as e:  # the chain must never sink the whole bench
@@ -319,6 +454,11 @@ def main(verbose=False):
     except Exception as e:  # extra key only — never sink the bench
         print(f'# undulator_full failed: {e!r}')
         und_full = {}
+    try:
+        analyzer = bench_analyzer()
+    except Exception as e:
+        print(f'# analyzer failed: {e!r}')
+        analyzer = {}
     und_ratio = REFERENCE_UND_SHINE_S / und_shine_s
     kir_ratio = kirchhoff_pairs_s / REFERENCE_KIRCHHOFF_PAIRS_S
     ratios = [und_ratio, kir_ratio]
@@ -337,6 +477,8 @@ def main(verbose=False):
         'kirchhoff_vs_A100_GPU_f64': round(kir_ratio, 3),
         'kirchhoff_polychromatic_pairs_per_s': round(
             kirchhoff_poly_pairs_s, 1),
+        'kirchhoff_polychromatic_exact_pairs_per_s': round(
+            kirchhoff_polyx_pairs_s, 1),
         'kirchhoff_bf16_accum_pairs_per_s': round(
             kirchhoff_fast_pairs_s, 1),
         'undulator_shine_1e5rays_s': round(und_shine_s, 3),
@@ -347,12 +489,36 @@ def main(verbose=False):
         'window_spread_max': round(max(
             s for s in (trace_spread, und_spread, kir_spread,
                         softimax_spread) if s is not None), 2),
+        # per-workload max/min window ratios: a large value flags WHICH
+        # number is congestion-soft (the stopping rule is two-fastest
+        # agreement within 5%, which congestion windows never satisfy —
+        # max/min can exceed 5% while the *minimum* is reproducible)
+        'window_spreads': {
+            k: round(v, 2) for k, v in
+            dict(trace=trace_spread, undulator=und_spread,
+                 kirchhoff=kir_spread, softimax=softimax_spread,
+                 grad=grad_spread).items() if v is not None},
     }
+    # roofline diagnostics: the mono kernel is VPU-bound (PERF.md) —
+    # ~69 hand-counted f32 VPU flops per pair (recentred propagator +
+    # bf16 splits) and 112 bf16 MXU flops per pair (56 column-passes x
+    # 2) for the 'mxu2' accumulation; v5e peak 197e12 bf16 FLOP/s
+    VPU_FLOPS_PER_PAIR = 69.0
+    MXU_FLOPS_PER_PAIR = 112.0
+    out['flops_per_pair'] = VPU_FLOPS_PER_PAIR + MXU_FLOPS_PER_PAIR
+    out['mfu'] = round(kirchhoff_pairs_s * MXU_FLOPS_PER_PAIR / 197e12, 4)
+    if vpu_peak is not None:
+        out['vpu_peak_f32_flops_s'] = round(vpu_peak, 1)
+        out['vpu_utilization'] = round(
+            kirchhoff_pairs_s * VPU_FLOPS_PER_PAIR / vpu_peak, 3)
+    if grad_pairs_s is not None:
+        out['kirchhoff_grad_pairs_per_s'] = round(grad_pairs_s, 1)
     if softimax_s is not None:
         out['softimax_chain_s'] = round(softimax_s, 2)
         out['softimax_vs_A100_GPU_f64'] = round(
             REFERENCE_SOFTIMAX_S / softimax_s, 3)
     out.update(und_full)
+    out.update(analyzer)
     print(json.dumps(out))
 
 

@@ -144,3 +144,44 @@ def test_recentred_weights_mask_dead_samples():
 import pytest as _pytest  # noqa: E402
 # full-physics module: excluded from the fast gate (`-m "not slow"`)
 pytestmark = _pytest.mark.slow
+
+
+def test_narrowband_polychromatic_parity():
+    """The narrowband poly factorization (kappa_s = kappa_0 + dk_s with a
+    single-f32 per-pair cross term — runs at the monochromatic rate)
+    matches the exact polychromatic path when its error bound holds
+    (ops/kirchhoff.py narrowband_err_cycles; VERDICT r4 #4)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from xrt_tpu.ops.kirchhoff import (kirchhoff_integral_recentred,
+                                       narrowband_err_cycles)
+    from xrt_tpu.physconsts import CHBAR
+
+    rng = np.random.default_rng(3)
+    Nd, Ns = 150, 250
+    kv = 9000.0 / CHBAR * 1e7
+    t = lambda v: (jnp.asarray(v), jnp.zeros_like(jnp.asarray(v)))
+    xd = t(rng.normal(0, .5, Nd))
+    yd = t(np.full(Nd, 20000.0))
+    zd = t(rng.normal(0, .5, Nd))
+    xs = t(rng.uniform(-50, 50, Ns))
+    ys = t(rng.normal(0, 1, Ns))
+    zs = t(rng.normal(0, .5, Ns))
+    Es = jnp.asarray(rng.normal(size=Ns) + 1j * rng.normal(size=Ns))
+    Ep = 0.3 * Es
+    k = t(kv * (1 + 0.01 * rng.uniform(-1, 1, Ns)))   # 1% bandwidth
+    n = [jnp.zeros(Ns), jnp.ones(Ns), jnp.zeros(Ns)]
+    nl = jnp.asarray(rng.uniform(0.8, 1, Ns))
+    w = jnp.ones(Ns)
+    args = (xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, w)
+    # flat receiver: the bound is tiny (f64 here: product rounds at 2^-53)
+    assert narrowband_err_cycles(k, xd, yd, zd, xs, ys, zs) < 1e-3
+    exact = kirchhoff_integral_recentred(*args)
+    nb = kirchhoff_integral_recentred(*args, narrowband=True)
+    for a, b in zip(exact, nb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0, atol=1e-10 *
+                                   float(jnp.max(jnp.abs(a))))
+    # a DEEP receiver at %-bandwidth must fail the bound (auto fallback)
+    yd_deep = t(20000.0 + np.asarray(rng.uniform(-200, 200, Nd)))
+    assert narrowband_err_cycles(k, xd, yd_deep, zd, xs, ys, zs) > 1e-3

@@ -263,3 +263,70 @@ def test_assemble_flagship_beamline(asmui):
     r = _post(base + '/api/reorder',
               {'order': ['src', 'dcm', 'toroid', 'det']})
     assert r.get('ok'), r
+
+
+def test_assemble_dag_beamline():
+    """VERDICT r4 #7 acceptance: branched (DAG) beamlines from the
+    browser — one mirror feeds TWO screens via the input-beam selector
+    (reference Qook wires arbitrary beam DAGs, qookbase.py:2-31); both
+    histograms live-update and the layout JSON round-trips the wiring."""
+    srv = WebUI(BeamLine(alignE=9000.0, name='dag'), port=0).start()
+    try:
+        _dag_assembly_checks(srv)
+    finally:
+        srv.stop()
+
+
+def _dag_assembly_checks(asmui):
+    base = f'http://{asmui.host}:{asmui.port}'
+    r = _post(base + '/api/add', {
+        'name': 'src', 'class': 'GeometricSource',
+        'params': {'nrays': 3000, 'dx': 0.1, 'dz': 0.05,
+                   'dxprime': 3e-5, 'dzprime': 3e-5,
+                   'energies': [9000.0], 'distE': 'lines'}})
+    assert r.get('ok'), r
+    p_t, q_t, pitch_t = 10000.0, 2000.0, 4e-3
+    R = 2 * p_t * q_t / (p_t + q_t) / math.sin(pitch_t)
+    rr = 2 * p_t * q_t / (p_t + q_t) * math.sin(pitch_t)
+    r = _post(base + '/api/add', {
+        'name': 'm1', 'class': 'ToroidMirror', 'distance': 10000.0,
+        'pitch': pitch_t,
+        'material': {'catalog': 'elemental', 'name': 'Rh'},
+        'params': {'R': R, 'r': rr, 'limPhysX': [-20, 20],
+                   'limPhysY': [-300, 300]}})
+    assert r.get('ok'), r
+    r = _post(base + '/api/add', {
+        'name': 'near', 'class': 'Screen', 'distance': 1000.0})
+    assert r.get('ok'), r
+    # the second screen BRANCHES off m1 (input selector): distance is
+    # measured from m1 along its outgoing axis, not from 'near'
+    r = _post(base + '/api/add', {
+        'name': 'focus', 'class': 'Screen', 'distance': 2000.0,
+        'input': 'm1'})
+    assert r.get('ok'), r
+    els = _get(base + '/api/elements')
+    assert els['focus'].get('_input') == 'm1'
+    # focus sits 2000 mm beyond m1 (not beyond 'near')
+    assert np.isclose(els['focus']['center'][1],
+                      p_t + 2000.0 * math.cos(2 * pitch_t), rtol=1e-6)
+
+    # both branches live-update, and the focus branch is sharper
+    d_near = _get(base + '/api/hist?beam=near')
+    d_focus = _get(base + '/api/hist?beam=focus')
+    assert d_near['nGood'] > 100 and d_focus['nGood'] > 100
+    assert d_focus['fwhm_z'] < d_near['fwhm_z']
+
+    # the inspector resolves the DAG upstream: focus is fed by m1
+    ins = _get(base + '/api/inspect?element=focus')
+    assert 'fluxIn' in ins and ins['fluxIn'] > 0
+
+    # JSON round-trip keeps the wiring and both histograms
+    with urllib.request.urlopen(base + '/api/layout', timeout=60) as rr_:
+        layout = rr_.read().decode()
+    assert '"_input": "m1"' in layout
+    r = _post(base + '/api/load', {'json': layout})
+    assert r.get('ok'), r
+    els2 = _get(base + '/api/elements')
+    assert els2['focus'].get('_input') == 'm1'
+    d2 = _get(base + '/api/hist?beam=focus')
+    assert d2['nGood'] > 100

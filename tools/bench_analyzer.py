@@ -134,6 +134,11 @@ def main():
     print(f'reference (identical workload): 436.1 s (1 thread), '
           f'157.1 s (4 processes, i7-7700K) -> '
           f'{436.1 / dt:.1f}x / {157.1 / dt:.1f}x')
+    import json
+    print('BENCH_EXTRA' + json.dumps({
+        'analyzer_total_s': round(dt, 3),
+        'analyzer_vs_i7_1thread': round(436.1 / dt, 1),
+        'analyzer_vs_i7_4proc': round(157.1 / dt, 1)}))
 
 
 if __name__ == '__main__':

@@ -142,6 +142,12 @@ class BeamLine:
                 if nrm > 1e-9:
                     self._axis_dir = d / nrm
                 self._axis_point = c
+        # post-placement axis state per element: branch placement
+        # (place(..., after=name)) resumes the axis from here
+        if not hasattr(self, '_axis_after'):
+            self._axis_after = {}
+        self._axis_after[name] = (self._axis_point.copy(),
+                                  self._axis_dir.copy())
         self._elements[name] = element
         if method is None:
             method = {'source': 'shine', 'oe': 'reflect',
@@ -176,6 +182,7 @@ class BeamLine:
                     break
         self.flow = [s for s in self.flow if s[0] != name]
         axis = getattr(self, '_axis_before', {}).pop(name, None)
+        getattr(self, '_axis_after', {}).pop(name, None)
         if was_last and axis is not None:
             self._axis_point, self._axis_dir = axis
         return el
@@ -205,9 +212,18 @@ class BeamLine:
     # auto-alignment along the nominal axis (cf. beamline.py:368-508)
     def place(self, name, element_cls, distance=None, center=None,
               pitch=None, bragg_material=None, deflection='up',
-              autoOrient=True, **kwargs):
+              autoOrient=True, after=None, flowKwargs=None, **kwargs):
         """Build and register an element auto-aligned on the current
         optical axis.
+
+        *after*: name of an already-placed element to branch from — the
+        axis cursor temporarily rewinds to that element's post-placement
+        state, so *distance* is measured from it along ITS outgoing
+        direction, and the trunk axis is restored afterwards (DAG
+        beamlines: one mirror feeding several stations, cf. the
+        reference Qook's beam wiring, qookbase.py:2-31).  *flowKwargs*
+        go to the recorded flow step (e.g. {'_input': 'm1'} to feed this
+        step from a non-adjacent upstream beam).
 
         *distance*: place the center at this distance along the axis from
         the previous element (alternative to explicit *center*).
@@ -220,6 +236,18 @@ class BeamLine:
         solving the conjugated extra angles (the analog of the reference's
         orientation auto-alignment, beamline.py:368-508) — essential e.g.
         for the second mirror of a KB pair."""
+        trunk_axis = None
+        if after is not None:
+            st = getattr(self, '_axis_after', {}).get(after)
+            if st is None:
+                raise KeyError(f'place(after={after!r}): no such placed '
+                               f'element')
+            trunk_axis = (self._axis_point.copy(), self._axis_dir.copy())
+            self._axis_point, self._axis_dir = (st[0].copy(),
+                                                st[1].copy())
+            if flowKwargs is None:
+                flowKwargs = {}
+            flowKwargs.setdefault('_input', after)
         if center is None:
             center = self._axis_point + self._axis_dir * float(distance)
         center = np.asarray(center, float)
@@ -258,7 +286,7 @@ class BeamLine:
             # create() classmethod — call them directly
             element = element_cls(center=tuple(center), **kwargs)
         name_ = name
-        self.add(name_, element)
+        self.add(name_, element, **(flowKwargs or {}))
         # update the axis
         self._axis_point = center
         perp = getattr(element, 'cryst2perpTransl', None)
@@ -291,6 +319,13 @@ class BeamLine:
                     sgn = 1.0 if deflection == 'left' else -1.0
                     axis, ang = z_b, dbl * sgn
                 self._axis_dir = _rodrigues(d, axis, ang)
+        # the definitive post-placement axis state (incl. deflection /
+        # fixed-exit jumps applied above) — branch anchors resume here
+        self._axis_after[name_] = (self._axis_point.copy(),
+                                   self._axis_dir.copy())
+        if trunk_axis is not None:
+            # a branch does not advance the trunk axis
+            self._axis_point, self._axis_dir = trunk_axis
         return element
 
     @property
@@ -485,6 +520,11 @@ class BeamLine:
                                [float(v) for v in d]]
                           for nm, (p, d) in
                           getattr(self, '_axis_before', {}).items()},
+                      'after': {
+                          nm: [[float(v) for v in p],
+                               [float(v) for v in d]]
+                          for nm, (p, d) in
+                          getattr(self, '_axis_after', {}).items()},
                   },
                   'elements': []}
         for name, kind, method, kwargs in self.flow:
@@ -545,6 +585,10 @@ class BeamLine:
             bl._axis_before = {
                 nm: (np.asarray(p, float), np.asarray(d, float))
                 for nm, (p, d) in axis.get('before', {}).items()}
+            if axis.get('after'):
+                bl._axis_after = {
+                    nm: (np.asarray(p, float), np.asarray(d, float))
+                    for nm, (p, d) in axis['after'].items()}
         return bl
 
 

@@ -192,13 +192,25 @@ def _presplit(a):
 
 
 def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
-                              weights, monochromatic=False):
+                              weights, monochromatic=False,
+                              narrowband=False):
     """Per-point precomputations for the recentred Kirchhoff phase.
 
     All inputs as in :func:`kirchhoff_integral_dd` ((hi, lo) f32 tuples for
     positions and k).  Returns (dst, src, params) dicts of f32 arrays /
     scalars consumed by :func:`_recentred_pair` — O(Nd)+O(Ns) double-float
-    work, all plain XLA."""
+    work, all plain XLA.
+
+    *narrowband* (polychromatic only): factor kappa_s = kappa_0 + dk_s
+    about the first sample's kappa_0; the per-dst phase kappa_0*(L.u)
+    folds into a mono-style fractional phase and the remaining cross
+    term dk_s*(L.u)_d is a SINGLE f32 product per pair (the exact-poly
+    path needs a 9-flop pre-split two-product) — error
+    ~ |dk|_max * |L.u|_max * 2^-24 cycles, i.e. <1e-3 cycles for any
+    %-bandwidth workload with cm-scale footprints
+    (:func:`narrowband_err_cycles`).  This makes per-sample-energy
+    integrals (e-spread sampling, coherent-mode pipelines, reference
+    waves.py:606-896) run at the monochromatic rate."""
     f32 = xd[0].dtype
     Ns = xs[0].shape[0]
 
@@ -287,12 +299,48 @@ def recentre_kirchhoff_inputs(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
         dst['phid'] = dd.frac_cycles(mdh, mdl)
         params['kappa_h'] = ka0[0]
         params['kappa_l'] = ka0[1]
+    elif narrowband:
+        # kappa_s = kappa_0 + dk_s: mono-style per-dst phid at kappa_0,
+        # single-f32 per-pair cross term dk_s*pdh (see docstring)
+        ka0 = (kah[0], kal[0])
+        mdh, mdl = dd.mul_f(*ka0, pdh)
+        mdl = mdl + ka0[0] * pdl
+        dst['phid'] = dd.frac_cycles(mdh, mdl)
+        # kah - kah[0] is exact for any %-scale bandwidth (Sterbenz)
+        src.update(kah=kah, kal=kal,
+                   dks=(kah - ka0[0]) + (kal - ka0[1]))
     else:
         ka1, ka2 = _presplit(kah)
         pd1, pd2 = _presplit(pdh)
         src.update(kah=kah, kal=kal, ka1=ka1, ka2=ka2)
         dst.update(pd1=pd1, pd2=pd2)
     return dst, src, params
+
+
+def narrowband_err_cycles(k, xd, yd, zd, xs, ys, zs):
+    """Worst-case phase error (cycles) of the narrowband polychromatic
+    factorization for the given geometry and wavenumbers: the single-f32
+    cross product dk*(L.u) rounds at 2^-24 relative.  Eager helper
+    (numpy, hi parts)."""
+    kh = np.asarray(k[0] if isinstance(k, tuple) else k, np.float64)
+    if kh.size == 0:
+        return 0.0
+    dk_max = float(np.max(np.abs(kh - kh.flat[0]))) / (2 * np.pi)
+
+    def hi(v):
+        return np.asarray(v[0] if isinstance(v, tuple) else v,
+                          np.float64)
+    d = np.stack([hi(xd), hi(yd), hi(zd)])
+    s = np.stack([hi(xs), hi(ys), hi(zs)])
+    D0 = d.mean(axis=1)
+    S0 = s.mean(axis=1)
+    C = D0 - S0
+    R0 = float(np.sqrt(np.sum(C * C)))
+    if R0 == 0.0:
+        return float('inf')
+    L = C / R0
+    pd_max = float(np.max(np.abs(L @ (d - D0[:, None]))))
+    return dk_max * pd_max * 2.0 ** -24
 
 
 # delta = r - A = A*(sqrt(1+x) - 1) = wp2*rinv*(1/2 - x/8 + x^2/16 - ...)
@@ -335,7 +383,7 @@ def recentred_series_e_max(xd, yd, zd, xs, ys, zs):
     return float((np.max(np.abs(pd)) + np.max(np.abs(lv))) / R0)
 
 
-def _recentred_core(d, s, params, monochromatic):
+def _recentred_core(d, s, params, monochromatic, narrowband=False):
     """Per-pair propagator for broadcast-compatible dst/src dicts.
 
     Returns (U_r, U_i, rinv, tx, ty, tz, lw): the complex Kirchhoff
@@ -353,6 +401,14 @@ def _recentred_core(d, s, params, monochromatic):
     if monochromatic:
         phic = params['kappa_h'] * delta
         lo2 = d['phid'] + s['phis'] + params['kappa_l'] * delta
+        m = lo2 - jnp.round(lo2) + (phic - jnp.round(phic))
+    elif narrowband:
+        # per-pair cross term dk_s*(L.u)_d as ONE f32 product, reduced
+        # to cycles immediately (error bound: narrowband_err_cycles)
+        phic = s['kah'] * delta
+        u = s['dks'] * d['pdh']
+        lo2 = d['phid'] + s['phis'] + (u - jnp.round(u)) + \
+            s['kal'] * delta
         m = lo2 - jnp.round(lo2) + (phic - jnp.round(phic))
     else:
         # exact kappa_s * (L.u)_d via pre-split two-product
@@ -376,14 +432,14 @@ def _recentred_core(d, s, params, monochromatic):
     return U_r, U_i, rinv, tx, ty, tz, lw
 
 
-def _recentred_pair(d, s, params, monochromatic):
+def _recentred_pair(d, s, params, monochromatic, narrowband=False):
     """Per-pair Kirchhoff factors for broadcast-compatible dst/src dicts.
 
     Returns (U_r, U_i, g_r, g_i, ax, ay, az): the complex Kirchhoff
     propagator U (split), the gradient-integral weight g = k^2/(4 pi) /r *
     (Es+Ep)*U (split) and the un-normalized direction numerators."""
     U_r, U_i, rinv, tx, ty, tz, lw = _recentred_core(
-        d, s, params, monochromatic)
+        d, s, params, monochromatic, narrowband)
     ax = params['Cx'] + tx + lw * params['Lx']
     ay = params['Cy'] + ty + lw * params['Ly']
     az = params['Cz'] + tz + lw * params['Lz']
@@ -399,6 +455,15 @@ _SRC_KEYS_COMMON = ('tsx', 'tsy', 'tsz', 'as_', 'lvh', 'phis', 'kw',
                     'kwnl', 'k2', 'Lns', 'Cns', 'n0', 'n1', 'n2',
                     'esr', 'esi', 'epr', 'epi', 'ser', 'sei')
 _SRC_KEYS_POLY = _SRC_KEYS_COMMON + ('kah', 'kal', 'ka1', 'ka2')
+_SRC_KEYS_NARROW = _SRC_KEYS_COMMON + ('kah', 'kal', 'dks')
+
+
+def _mode_keys(monochromatic, narrowband):
+    if monochromatic:
+        return _DST_KEYS_MONO, _SRC_KEYS_COMMON
+    if narrowband:
+        return _DST_KEYS_MONO, _SRC_KEYS_NARROW
+    return _DST_KEYS_POLY, _SRC_KEYS_POLY
 
 
 def _accumulate(acc, U_r, U_i, g_r, g_i, ax, ay, az, s, axis):
@@ -418,7 +483,8 @@ def _accumulate(acc, U_r, U_i, g_r, g_i, ax, ay, az, s, axis):
 
 def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                                  weights, monochromatic=False,
-                                 src_chunk=None, remat=False):
+                                 src_chunk=None, remat=False,
+                                 narrowband=False):
     """XLA (non-Pallas) evaluation of the recentred scheme — compiles on
     any backend; used for validation and as the CPU f32 fast path.
 
@@ -428,14 +494,14 @@ def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     pair intermediates — the memory form used by the custom-VJP backward
     of the Pallas kernel (:func:`_kirchhoff_bwd`)."""
     dst, src, params = recentre_kirchhoff_inputs(
-        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
+        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic,
+        narrowband)
     f32 = xd[0].dtype
     Ns = xs[0].shape[0]
     Nd = xd[0].shape[0]
     chunk = src_chunk or SRC_CHUNK
     npad = (-Ns) % chunk
-    skeys = _SRC_KEYS_COMMON if monochromatic else _SRC_KEYS_POLY
-    dkeys = _DST_KEYS_MONO if monochromatic else _DST_KEYS_POLY
+    dkeys, skeys = _mode_keys(monochromatic, narrowband)
 
     def pad(v):
         return jnp.concatenate([v, jnp.zeros((npad,), v.dtype)]) if npad \
@@ -446,7 +512,8 @@ def kirchhoff_integral_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
     def body(carry, s_chunk):
         srow = {kk: s_chunk[kk][None, :] for kk in skeys}
-        vals = _recentred_pair(dcol, srow, params, monochromatic)
+        vals = _recentred_pair(dcol, srow, params, monochromatic,
+                               narrowband)
         return _accumulate(carry, *vals, srow, 1), None
 
     init = tuple(jnp.zeros((Nd,), f32) for _ in range(10))
@@ -498,7 +565,7 @@ def _phase_dd_fast(xd_t, yd_t, zd_t, xs_t, ys_t, zs_t, ka_t):
 def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                                 weights, dst_tile, src_chunk, sublanes,
                                 monochromatic, accumulate='mxu',
-                                interpret=False):
+                                interpret=False, narrowband=False):
     """The recentred-phase Pallas kernel (see module notes above): per-pair
     work is plain f32 on small transverse offsets; all dd precision lives
     in O(N) per-point precomputations.  ~2x the throughput of the dd-phase
@@ -525,9 +592,9 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 
     f32 = xd[0].dtype
     dst, src, params = recentre_kirchhoff_inputs(
-        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic)
-    dkeys = _DST_KEYS_MONO if monochromatic else _DST_KEYS_POLY
-    skeys = _SRC_KEYS_COMMON if monochromatic else _SRC_KEYS_POLY
+        xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl, weights, monochromatic,
+        narrowband)
+    dkeys, skeys = _mode_keys(monochromatic, narrowband)
     pkeys = ('Cx', 'Cy', 'Cz', 'Lx', 'Ly', 'Lz', 'rho', 'invR0') + \
         (('kappa_h', 'kappa_l') if monochromatic else ())
 
@@ -560,7 +627,8 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
             def body(j, acc):
                 srow_d = {kk: r[j, :].reshape(1, -1)
                           for kk, r in zip(skeys, srefs)}
-                vals = _recentred_pair(dcol, srow_d, pdict, monochromatic)
+                vals = _recentred_pair(dcol, srow_d, pdict, monochromatic,
+                                       narrowband)
                 return _accumulate(acc, *vals, srow_d, 1)
 
             init = tuple(jnp.zeros((dst_tile,), f32) for _ in range(10))
@@ -617,7 +685,7 @@ def _kirchhoff_pallas_recentred(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                 s1 = {kk: r[j, :] for kk, r in zip(skeys, srefs)}
                 srow_d = {kk: v.reshape(1, -1) for kk, v in s1.items()}
                 U_r, U_i, rinv, _, _, _, _ = _recentred_core(
-                    dcol, srow_d, pdict, monochromatic)
+                    dcol, srow_d, pdict, monochromatic, narrowband)
                 a1 = s1['k2'] * s1['ser']
                 a2 = s1['k2'] * s1['sei']
                 sx = s1['tsx'] + s1['lvh'] * pdict['Lx']
@@ -756,7 +824,7 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
                               weights, dst_tile=128, src_chunk=2048,
                               sublanes=8, phase_mode='recentred',
                               monochromatic=False, accumulate='mxu',
-                              interpret=False):
+                              interpret=False, narrowband='auto'):
     """Pallas TPU kernel: grid over destination tiles (sublanes x dst_tile
     points per program), fori_loop over source chunks, with
     (dst_tile x src_chunk) 2D vector work per step.
@@ -795,6 +863,18 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     if phase_mode == 'recentred':
         traced = any(isinstance(jnp.asarray(v[0]), jax.core.Tracer)
                      for v in (xd, yd, zd, xs, ys, zs))
+        if narrowband == 'auto':
+            # the narrowband poly factorization runs at the mono rate;
+            # eager calls enable it when its error bound is negligible
+            # (<1e-3 cycles ~ 6 mrad of phase), traced calls keep the
+            # exact path unless the caller opts in explicitly
+            if monochromatic or traced or isinstance(
+                    jnp.asarray(k[0] if isinstance(k, tuple) else k),
+                    jax.core.Tracer):
+                narrowband = False
+            else:
+                narrowband = narrowband_err_cycles(
+                    k, xd, yd, zd, xs, ys, zs) < 1e-3
         if accumulate.startswith('mxu') and not traced:
             e_max = recentred_series_e_max(xd, yd, zd, xs, ys, zs)
             if accumulate == 'mxu2' and e_max > SERIES_E2_MAX:
@@ -814,7 +894,8 @@ def kirchhoff_integral_pallas(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
     n3 = tuple(jnp.broadcast_to(jnp.asarray(ni), (Ns,)).astype(f32)
                for ni in n)
     static = (dst_tile, src_chunk, sublanes, phase_mode,
-              bool(monochromatic), accumulate, bool(interpret))
+              bool(monochromatic), accumulate, bool(interpret),
+              narrowband is True)
     return _kirchhoff_pallas_diff(static, xd, yd, zd, xs, ys, zs, Es, Ep,
                                   k, n3, nl, weights)
 
@@ -1058,12 +1139,12 @@ def _kirchhoff_bwd_blocked(phase_mode, monochromatic, args, cts):
 def _kirchhoff_pallas_diff(static, xd, yd, zd, xs, ys, zs, Es, Ep, k, n,
                            nl, weights):
     (dst_tile, src_chunk, sublanes, phase_mode, monochromatic,
-     accumulate, interpret) = static
+     accumulate, interpret, narrowband) = static
     if phase_mode == 'recentred':
         return _kirchhoff_pallas_recentred(
             xd, yd, zd, xs, ys, zs, Es, Ep, k, list(n), nl, weights,
             dst_tile, src_chunk, sublanes, monochromatic, accumulate,
-            interpret=interpret)
+            interpret=interpret, narrowband=narrowband)
     return _kirchhoff_pallas_ddphase(
         xd, yd, zd, xs, ys, zs, Es, Ep, k, list(n), nl, weights,
         dst_tile, src_chunk, sublanes, phase_mode, interpret=interpret)

@@ -397,8 +397,18 @@ class WebUI:
     # -- api ------------------------------------------------------------
     def api_elements(self):
         with self._lock:
-            return {name: _params_of(el)
-                    for name, el in self.elements.items()}
+            out = {name: _params_of(el)
+                   for name, el in self.elements.items()}
+            # DAG wiring: expose each step's recorded '_input' so the
+            # tree can show which upstream beam feeds it
+            for step in self.bl.flow:
+                kw = step[3] if len(step) > 3 else None
+                if isinstance(kw, dict) and kw.get('_input') and \
+                        step[0] in out:
+                    inp = kw['_input']
+                    out[step[0]]['_input'] = inp if isinstance(inp, str) \
+                        else getattr(inp, 'name', str(inp))
+            return out
 
     def _beams(self):
         out = {}
@@ -483,6 +493,13 @@ class WebUI:
                     params[k] = tuple(v)
             if req.get('material'):
                 params['material'] = _material_from_spec(req['material'])
+            # DAG wiring: "input" names the upstream element feeding
+            # this step (the reference Qook's beam wiring,
+            # qookbase.py:2-31); distance placement then branches off
+            # that element's outgoing axis
+            inputName = req.get('input') or None
+            if inputName is not None and inputName not in self.elements:
+                raise KeyError(f'unknown input element {inputName!r}')
             axis0 = (self.bl.axis_point, self.bl.axis_dir)
             try:
                 if req.get('distance') is not None:
@@ -498,11 +515,13 @@ class WebUI:
                                   distance=float(req['distance']),
                                   pitch=pitch,
                                   bragg_material=kw.get('material'),
+                                  after=inputName,
                                   **kw)
                 else:
                     el = cls.create(**params) if hasattr(cls, 'create') \
                         else cls(**params)
-                    self.bl.add(name, el)
+                    fkw = {'_input': inputName} if inputName else {}
+                    self.bl.add(name, el, **fkw)
                 self._results = self._trace()
             except Exception:
                 if name in self.bl._elements:
@@ -827,6 +846,8 @@ _PAGE = """<!DOCTYPE html>
   <div>name <input id="addname" size="10"></div>
   <div>distance <input id="adddist" size="8"
        placeholder="auto-align mm"></div>
+  <div>input <select id="addinput"><option value="">(previous)</option>
+   </select></div>
   <div>pitch <input id="addpitch" size="8" placeholder="rad|auto"></div>
   <div>material <select id="addmat"><option value="">none</option>
    </select></div>
@@ -1054,10 +1075,17 @@ async function loadRegistry() {
     ms.appendChild(g);
   }
 }
-$('addbtn').onclick = () => {
+$('addbtn').onclick = async () => {
   $('addform').style.display =
     $('addform').style.display === 'none' ? 'block' : 'none';
   if (!REG) loadRegistry();
+  // input-beam selector: branch the new element off any placed element
+  const els = await jget('/api/elements');
+  const is_ = $('addinput'); is_.innerHTML =
+    '<option value="">(previous)</option>';
+  Object.keys(els).forEach(nm => {
+    const o = document.createElement('option');
+    o.value = o.textContent = nm; is_.appendChild(o); });
 };
 $('addcancel').onclick = () => $('addform').style.display = 'none';
 $('addgo').onclick = async () => {
@@ -1067,6 +1095,7 @@ $('addgo').onclick = async () => {
   catch (e) { $('status').textContent = 'bad params JSON'; return; }
   const dist = parseFloat($('adddist').value);
   if (!isNaN(dist)) body.distance = dist;
+  if ($('addinput').value) body.input = $('addinput').value;
   const pv = $('addpitch').value.trim();
   if (pv === 'auto') body.autoBragg = true;
   else if (pv) body.pitch = parseFloat(pv);
