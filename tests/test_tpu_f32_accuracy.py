@@ -317,3 +317,10 @@ if pytest is not None:
 
 if __name__ == '__main__':
     run_device(sys.argv[1] if len(sys.argv) > 1 else 'device_f32.npz')
+
+
+import pytest as _pytest  # noqa: E402
+# the on-chip f32 validation costs ~5 min of real-TPU subprocess
+# time (280 s of f64-truth setup alone) — half the fast gate's
+# budget; it runs in the slow suite (VERDICT r4 weak #3)
+pytestmark = _pytest.mark.slow

