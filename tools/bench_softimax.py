@@ -247,28 +247,44 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False,
     modes = {}
     tilemaps = {}
 
+    # the Pallas kernel keeps the full SOURCE cloud in VMEM; above this
+    # many samples the stage is tiled along src purely for size, so the
+    # chain scales to production sampling (1e6/wave = 1e12 pairs per
+    # integral — the convergence level the reference's own speed-test
+    # docstring recommends but never ran)
+    SRC_TILE_MAX = 200000
+
     def _prep(name, fn, src_wave):
         from xrt_tpu.waves import choose_tile_modes
         w = fn()
         modes[name] = choose_stage_mode(w, src_wave.x, src_wave.y,
                                         src_wave.z,
                                         error_budget=error_budget)
-        if tiled and not (modes[name][0] == 'recentred' and
-                          modes[name][1].startswith('mxu')):
+        Ns_ = int(np.asarray(src_wave.x).shape[0])
+        need_size_tiles = Ns_ > SRC_TILE_MAX
+        if (tiled and not (modes[name][0] == 'recentred' and
+                           modes[name][1].startswith('mxu'))) or \
+                need_size_tiles:
             # blockwise-recentred tiling: most tile pairs of a
             # short-distance stage satisfy the MXU envelopes even when
-            # the global geometry does not (samples are y-sorted)
+            # the global geometry does not (samples are y-sorted); for
+            # oversized source clouds the same machinery tiles purely
+            # for VMEM footprint
+            ntd = 5 if (tiled and not modes[name][1].startswith('mxu')) \
+                else 1
+            nts = max(10 if ntd == 5 else 1,
+                      -(-Ns_ // SRC_TILE_MAX))
             tm = choose_tile_modes(
                 (np.asarray(w.xDiffr), np.asarray(w.yDiffr),
                  np.asarray(w.zDiffr)),
                 (np.asarray(src_wave.x), np.asarray(src_wave.y),
                  np.asarray(src_wave.z)),
-                n_dst_tiles=5, n_src_tiles=10,
+                n_dst_tiles=ntd, n_src_tiles=nts,
                 error_budget=error_budget)
             tilemaps[name] = tm
             if verbose:
                 flat = [m for row in tm for m in row]
-                print(f'# stage {name}: tiled 5x10 -> '
+                print(f'# stage {name}: tiled {ntd}x{nts} -> '
                       f"{sum(1 for m in flat if m[1].startswith('mxu'))}"
                       f'/{len(flat)} tiles on mxu '
                       f"({sum(1 for m in flat if m[0] == 'fast')} fast)")
@@ -348,6 +364,58 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False,
                           for o in outs]), logs
 
     chain = jax.jit(_chain)
+
+    # production sampling (>3e5/wave): the monolithic 10-stage jit's
+    # peak buffer set exceeds HBM (observed worker crash at 1e6 while
+    # every stage runs fine in isolation) — execute stage-wise, each
+    # hop its own jit, freeing the previous stage's buffers in between;
+    # the ~10 extra dispatches cost nothing against the 1e12-pair
+    # integrals
+    staged = nrays > 300000
+
+    def _shine_stage(k, wSlit):
+        ws = src.shine_wave(k, wSlit, E0)
+        return rescale_field(ws)
+
+    def _hop_stage(name, oe, areaFrac, k, loc, w):
+        pm, acc = modes[name]
+        b = diffract(loc, w, phase_mode=pm, monochromatic=True,
+                     accumulate=acc, tile_modes=tilemaps.get(name))
+        if oe is None:
+            out, ls = rescale_field(b)
+        else:
+            _, out = reflect_wave(oe, b, k)
+            out, ls = rescale_field(out)
+        if areaFrac is not None:
+            out = out.replace(area=out.area * areaFrac)
+        return out, ls
+
+    def _focal_stage(name, loc, w):
+        pm, acc = modes[name]
+        o = diffract(loc, w, phase_mode=pm, monochromatic=True,
+                     accumulate=acc, tile_modes=tilemaps.get(name))
+        return (o.Jss + o.Jpp).reshape(n_scr, n_scr)
+
+    if staged:
+        _shine_j = jax.jit(_shine_stage)
+        _hop_j = jax.jit(_hop_stage, static_argnums=(0, 2))
+        _focal_j = jax.jit(_focal_stage, static_argnums=(0,))
+
+        def _chain_staged(k, wSlit, wM1, wM2, wPG, wM3, wES, wM4, wM5,
+                          wScr):
+            cur, logs = _shine_j(k, wSlit)
+            hops = [('m1', m1, None, wM1), ('m2', m2, None, wM2),
+                    ('pg', pg, areaFraction, wPG), ('m3', m3, None, wM3),
+                    ('es', None, None, wES), ('m4', m4, None, wM4),
+                    ('m5', m5, None, wM5)]
+            for name, oe, af, w in hops:
+                cur, ls = _hop_j(name, oe, af, k, cur, w)
+                cur.x.block_until_ready()
+                logs = logs + ls
+            imgs = [np.asarray(_focal_j(f'scr{i}', cur, w))
+                    for i, w in enumerate(wScr)]
+            return np.stack(imgs), logs
+
     state = {'key': key}
 
     def run_chain(reprepare=False):
@@ -372,7 +440,10 @@ def build_chain(nrays=200000, n_scr=64, verbose=False, tiled=False,
                     'modes')
         else:
             waves = waves0
-        imgs, logs = chain(sub, *waves[:-1], waves[-1])
+        if staged:
+            imgs, logs = _chain_staged(sub, *waves[:-1], waves[-1])
+        else:
+            imgs, logs = chain(sub, *waves[:-1], waves[-1])
         return np.asarray(imgs, np.float64) * math.exp(
             -2.0 * float(logs))
 
@@ -390,7 +461,13 @@ def main():
     from xrt_tpu.config import select_platform
     select_platform()
     nrays = 4000 if smoke else 200000
+    for a in sys.argv:
+        if a.startswith('--nrays='):
+            nrays = int(float(a.split('=')[1]))
     n_scr = 32 if smoke else 64
+    for a in sys.argv:
+        if a.startswith('--nscr='):
+            n_scr = int(a.split('=')[1])
     t0 = time.time()
     run_chain = build_chain(nrays=nrays, n_scr=n_scr, verbose=True,
                             tiled=tiled)
@@ -398,7 +475,8 @@ def main():
     imgs = run_chain()            # compile + first run
     t2 = time.time()
     times = []
-    for _ in range(2 if smoke else 3):
+    nrep = 1 if nrays > 300000 else (2 if smoke else 3)
+    for _ in range(nrep):
         ta = time.time()
         imgs = run_chain()
         times.append(time.time() - ta)

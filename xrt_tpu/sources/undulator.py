@@ -562,8 +562,30 @@ class Undulator(_SynchrotronBase):
         rTheta = x / rDiffr + dtheta
         rPsi = z / rDiffr + dpsi
         rE = jnp.full((n,), fixedEnergy, dt)
-        Intensity, mJs, mJp = self.build_I_map(keys[4], rE, rTheta, rPsi,
-                                               dgamma=dgamma)
+        # production sampling: the node-chunked integral's temporaries
+        # are O(nrays x NODE_CHUNK); above ~2.6e5 samples a single pass
+        # would exceed HBM (observed worker crash at 1e6), so the rays
+        # are mapped in fixed blocks — same math, bounded memory
+        RAY_BLOCK = 131072
+        if n > 2 * RAY_BLOCK:
+            npad = (-n) % RAY_BLOCK
+            def pad(v):
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (npad,))]) if npad else v
+            nb = (n + npad) // RAY_BLOCK
+            stacked = tuple(pad(v).reshape(nb, RAY_BLOCK)
+                            for v in (rE, rTheta, rPsi))
+
+            def body(args):
+                return self.build_I_map(keys[4], *args, dgamma=dgamma)
+
+            Ib, Jsb, Jpb = jax.lax.map(body, stacked)
+            Intensity = Ib.reshape(-1)[:n]
+            mJs = Jsb.reshape(-1)[:n]
+            mJp = Jpb.reshape(-1)[:n]
+        else:
+            Intensity, mJs, mJp = self.build_I_map(
+                keys[4], rE, rTheta, rPsi, dgamma=dgamma)
         # the wave's aperture area projected onto the beam direction when
         # sampling an OE surface (reference sybase.py:1702-1707)
         wave_area = wave.area if wave.areaNormal is None else wave.areaNormal
