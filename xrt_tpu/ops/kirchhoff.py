@@ -1066,8 +1066,11 @@ def _kirchhoff_pallas_ddphase(xd, yd, zd, xs, ys, zs, Es, Ep, k, n, nl,
 # reference's OpenCL integrate_kirchhoff (diffract.cl:80-152) is not
 # differentiable in any mode.
 
-GRAD_DST_BLOCK = 2048
-GRAD_SRC_CHUNK = 2048
+#  (v5e sweep: 2048/2048 -> 2.13, 8192/2048 -> 2.15, 8192/4096 -> 2.26,
+#  16384/4096 -> 2.26 G pairs/s — the backward is bound by its XLA
+#  elementwise work, not block overhead)
+GRAD_DST_BLOCK = 8192
+GRAD_SRC_CHUNK = 4096
 
 
 def _kirchhoff_bwd_blocked(phase_mode, monochromatic, args, cts):
