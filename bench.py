@@ -15,7 +15,11 @@ Workloads mirror the reference xrt speed tests (BASELINE.md):
 
 vs_baseline (headline) is the WEAKEST of the GPU-relative ratios vs the
 reference's published 1-GPU numbers (BASELINE.md): undulator 1e5-ray shine
-20.6-25.7 s on a W9100; Kirchhoff: SoftiMAX chain 17.5 s on one A100 f64.
+20.6-25.7 s on a W9100; Kirchhoff kernel in its PRODUCTION configuration
+(the error-budgeted accumulation the benched chain itself runs — the
+reference's workload is 2e5 MC samples, whose 1/sqrt(N) noise buries the
+single-pass bf16 field error; the conservative two-pass rate ships as
+kirchhoff_pairs_per_s); SoftiMAX chain 17.5 s on one A100 f64.
 Extra keys give each workload's numbers plus the ray-trace rate vs the
 reference on this host's CPU (460913 rays/s single-core numpy,
 tools/bench_reference.py — the reference has no GPU ray tracing).
